@@ -1,0 +1,26 @@
+"""qoc_tpu - a TPU-native GRAPE quantum optimal control framework.
+
+Built from scratch on JAX/XLA/Pallas with the capabilities of SchusterLab/qoc
+(reference at /root/reference): Schrödinger and Lindblad GRAPE with an
+extensible cost stack, Adam/L-BFGS-B/SGD optimizers, H5 checkpointing, and
+multi-device ensemble sharding.
+
+Public API mirrors the reference's four entry points
+(/root/reference/qoc/__init__.py:5-16).
+"""
+
+from qoc_tpu.core import (
+    evolve_lindblad_discrete,
+    evolve_schroedinger_discrete,
+    grape_lindblad_discrete,
+    grape_schroedinger_discrete,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "evolve_lindblad_discrete",
+    "grape_lindblad_discrete",
+    "evolve_schroedinger_discrete",
+    "grape_schroedinger_discrete",
+]

@@ -1,0 +1,273 @@
+"""Shared GRAPE optimization engine.
+
+The reference drives optimization through per-iteration host callbacks
+(/root/reference/qoc/core/schroedingerdiscrete.py:249-250 ->
+_esdj_wrap:293-353): every iteration pays a Python round trip. qoc_tpu keeps
+that host loop only where it is forced to (scipy L-BFGS-B line searches, or a
+non-traceable ``impose_control_conditions`` hook) and otherwise runs a
+**fused on-device loop**: ``lax.scan`` over whole chunks of iterations, each
+iteration = clip-project -> value_and_grad of the jitted propagation loss ->
+Adam/SGD update, with best-iterate tracking in the scan carry and per-
+iteration (error, |grads|) emitted as scan outputs for exact reference-format
+logging after each chunk. One device dispatch per chunk instead of one per
+iteration is where the >=10x iteration-rate target comes from at small
+Hilbert dimensions.
+
+Reference-parity semantics preserved exactly:
+- controls are clipped to max_control_norms *outside* the differentiation
+  (projection; gradients are taken at the clipped point w.r.t. the clipped
+  controls — reference schroedingerdiscrete.py:307-313 clips with numpy
+  before the autograd trace),
+- the optimizer updates the *unclipped* parameters,
+- iteration i logs the error/gradient evaluated at iteration i's parameters
+  before the update; termination on ``error <= min_error`` skips the update,
+- the returned gradients in cost format equal du/dx + i. du/dy (the
+  reference's post-conjugation convention, schroedingerdiscrete.py:320-324),
+  which falls out automatically from differentiating w.r.t. the stripped
+  real parameters.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qoc_tpu.config import real_dtype
+from qoc_tpu.core.common import (
+    clip_control_norms,
+    clip_control_norms_jax,
+    slap_controls,
+    slap_controls_jax,
+    strip_controls,
+    strip_controls_jax,
+)
+
+__all__ = ["run_grape"]
+
+_DEFAULT_CHUNK = 200
+
+
+def run_grape(pstate, result, loss_flat, evolved_key, result_fields):
+    """Run the optimization described by ``pstate``.
+
+    Arguments:
+    pstate - a GrapeState subclass instance.
+    result - the result object to fill.
+    loss_flat - traced fn: flat real params (already clipped) ->
+        (error, final_evolved).
+    evolved_key - "final_states" | "final_densities" (H5 dataset name).
+    result_fields - (controls_field, error_field, evolved_field, iter_field)
+        attribute names on ``result``.
+    """
+    optimizer = pstate.optimizer
+    fused_ok = (getattr(optimizer, "supports_fused", False)
+                and pstate.impose_control_conditions is None)
+    if fused_ok:
+        _run_fused(pstate, result, loss_flat, evolved_key, result_fields)
+    else:
+        _run_host(pstate, result, loss_flat, evolved_key, result_fields)
+
+
+# ---------------------------------------------------------------------------
+# Host-loop path (L-BFGS-B / user projection hooks)
+# ---------------------------------------------------------------------------
+
+def _run_host(pstate, result, loss_flat, evolved_key, result_fields):
+    cc = pstate.complex_controls
+    shape = pstate.controls_shape
+    mcn = np.asarray(pstate.max_control_norms)
+    vg = jax.jit(jax.value_and_grad(loss_flat, has_aux=True))
+    controls_field, error_field, evolved_field, iter_field = result_fields
+
+    state = {"iteration": 0, "cache_key": None, "cache_val": None}
+
+    def prepare(params):
+        controls = slap_controls(cc, np.asarray(params), shape)
+        controls = clip_control_norms(controls, mcn)
+        if pstate.impose_control_conditions is not None:
+            controls = pstate.impose_control_conditions(controls)
+        return controls
+
+    def evaluate(params):
+        """Cached loss+grad so scipy's paired fun/jac calls cost one
+        dispatch."""
+        params = np.asarray(params)
+        key = params.tobytes()
+        if state["cache_key"] == key:
+            return state["cache_val"]
+        controls = prepare(params)
+        clipped_flat = strip_controls(cc, controls)
+        (error, final_evolved), grads = vg(jnp.asarray(clipped_flat))
+        error = float(error)
+        if np.isnan(error):
+            print("qoc_tpu: loss evaluated to NaN. If this is a Lindblad "
+                  "RKDP5 run, the adaptive integrator likely exceeded "
+                  "rkdp5_max_steps — raise it, relax atol, or switch to "
+                  "LindbladMethod.MAGNUS_EXPM.")
+        val = (controls, error, np.asarray(final_evolved),
+               np.asarray(grads))
+        state["cache_key"] = key
+        state["cache_val"] = val
+        return val
+
+    def function_wrap(params):
+        _, error, _, _ = evaluate(params)
+        return error, error <= pstate.min_error
+
+    def jacobian_wrap(params):
+        controls, error, final_evolved, grads_flat = evaluate(params)
+        grads_cost_format = slap_controls(cc, grads_flat, shape)
+        if error < getattr(result, error_field):
+            setattr(result, controls_field, controls)
+            setattr(result, error_field, error)
+            setattr(result, evolved_field, final_evolved)
+            setattr(result, iter_field, state["iteration"])
+        pstate.log_and_save(controls, error, final_evolved,
+                            grads_cost_format, state["iteration"],
+                            evolved_key)
+        state["iteration"] += 1
+        return grads_flat, error <= pstate.min_error
+
+    x0 = strip_controls(cc, np.asarray(pstate.initial_controls))
+    pstate.optimizer.run(function_wrap, pstate.iteration_count, x0,
+                         jacobian_wrap)
+    result.iteration_count_ran = state["iteration"]
+
+
+# ---------------------------------------------------------------------------
+# Fused on-device path (Adam / SGD)
+# ---------------------------------------------------------------------------
+
+def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
+    cc = pstate.complex_controls
+    shape = pstate.controls_shape
+    mcn = jnp.asarray(np.asarray(pstate.max_control_norms))
+    optimizer = pstate.optimizer
+    min_error = pstate.min_error
+    collect_rows = pstate.should_save
+    controls_field, error_field, evolved_field, iter_field = result_fields
+    rdt = real_dtype()
+
+    vg = jax.value_and_grad(loss_flat, has_aux=True)
+
+    def iteration_step(carry, _):
+        params, opt_state, done, best = carry
+        controls = slap_controls_jax(cc, params, shape)
+        clipped = clip_control_norms_jax(controls, mcn)
+        clipped_flat = strip_controls_jax(cc, clipped)
+        (error, final_evolved), grads = vg(clipped_flat)
+        grads_norm = jnp.linalg.norm(grads)
+
+        new_opt_state, new_params = optimizer.update_jax(opt_state, grads,
+                                                         params)
+        # Freeze everything once terminated; `valid` marks rows that really
+        # ran (the terminating evaluation itself is still valid/logged).
+        valid = ~done
+        improved = valid & (error < best["error"])
+        best = {
+            "error": jnp.where(improved, error, best["error"]),
+            "controls_flat": jnp.where(improved, clipped_flat,
+                                       best["controls_flat"]),
+            "final_evolved": jnp.where(improved, final_evolved,
+                                       best["final_evolved"]),
+            "iteration": jnp.where(improved, best["count"],
+                                   best["iteration"]),
+            "count": best["count"] + valid.astype(jnp.int32),
+        }
+        terminate = error <= min_error
+        new_done = done | terminate
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(done, old, new), new_params, params)
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(done, old, new), new_opt_state,
+            opt_state)
+        if collect_rows:
+            rows = (error, grads_norm, valid, clipped_flat, grads,
+                    final_evolved)
+        else:
+            rows = (error, grads_norm, valid)
+        return (params, opt_state, new_done, best), rows
+
+    chunk_cache = {}
+
+    def run_chunk(carry, length):
+        if length not in chunk_cache:
+            chunk_cache[length] = jax.jit(
+                lambda c: lax.scan(iteration_step, c, None, length=length))
+        return chunk_cache[length](carry)
+
+    x0 = strip_controls(cc, np.asarray(pstate.initial_controls))
+    params = jnp.asarray(x0, dtype=rdt)
+    opt_state = optimizer.init_state(params)
+    # Seed best with a forward shape probe (zeros; overwritten on iteration 0
+    # because error < MAX always).
+    probe_shape = jax.eval_shape(loss_flat, params)[1]
+    best = {
+        "error": jnp.asarray(np.finfo(np.float64).max, dtype=rdt),
+        "controls_flat": jnp.zeros_like(params),
+        "final_evolved": jnp.zeros(probe_shape.shape,
+                                   dtype=probe_shape.dtype),
+        "iteration": jnp.asarray(0, dtype=jnp.int32),
+        "count": jnp.asarray(0, dtype=jnp.int32),
+    }
+    done = jnp.asarray(False)
+
+    chunk = int(getattr(pstate, "fused_chunk", 0) or _DEFAULT_CHUNK)
+    iterations_left = pstate.iteration_count
+    global_iter = 0
+    all_errors = []
+    carry = (params, opt_state, done, best)
+    while iterations_left > 0:
+        length = min(chunk, iterations_left)
+        carry, rows = run_chunk(carry, length)
+        _, _, done, best = carry
+        rows = jax.device_get(rows)
+        if collect_rows:
+            errors, gnorms, valids, controls_rows, grads_rows, evolved_rows \
+                = rows
+        else:
+            errors, gnorms, valids = rows
+        n_valid = int(np.sum(valids))
+        all_errors.append(np.asarray(errors)[:n_valid])
+        for j in range(n_valid):
+            iteration = global_iter + j
+            _log_row(pstate, iteration, float(errors[j]), float(gnorms[j]))
+            if collect_rows and _is_save_iteration(pstate, iteration):
+                controls_cf = slap_controls(cc, np.asarray(controls_rows[j]),
+                                            shape)
+                grads_cf = slap_controls(cc, np.asarray(grads_rows[j]), shape)
+                save_step = iteration // pstate.save_iteration_step
+                pstate.checkpointer.save_grape_iteration(
+                    int(save_step), controls_cf, float(errors[j]),
+                    evolved_rows[j], grads_cf, evolved_key)
+        global_iter += n_valid
+        iterations_left -= length
+        if bool(jax.device_get(done)):
+            break
+
+    best = jax.device_get(best)
+    setattr(result, controls_field,
+            slap_controls(cc, np.asarray(best["controls_flat"]), shape))
+    setattr(result, error_field, float(best["error"]))
+    setattr(result, evolved_field, np.asarray(best["final_evolved"]))
+    setattr(result, iter_field, int(best["iteration"]))
+    result.iteration_count_ran = global_iter
+    result.errors = (np.concatenate(all_errors)
+                     if all_errors else np.zeros((0,)))
+
+
+def _is_save_iteration(pstate, iteration):
+    if not pstate.should_save or iteration > pstate.final_iteration:
+        return False
+    return (iteration % pstate.save_iteration_step == 0
+            or iteration == pstate.final_iteration)
+
+
+def _log_row(pstate, iteration, error, grads_norm):
+    if not pstate.should_log or iteration > pstate.final_iteration:
+        return
+    if (iteration % pstate.log_iteration_step == 0
+            or iteration == pstate.final_iteration):
+        print("{:^6d} | {:^1.8e} | {:^1.8e}".format(iteration, error,
+                                                    grads_norm))

@@ -1,0 +1,199 @@
+"""Matrix exponential for TPU: scaling-and-squaring Padé-13 with an exact
+Fréchet-derivative adjoint.
+
+This is the hot kernel of GRAPE propagation. The reference implementation
+(/root/reference/qoc/standard/functions/expm.py:83-276) is a Higham-2005
+scaling-and-squaring Padé evaluated in numpy and differentiated by tracing
+autograd through the algorithm, which the reference's own report identifies as
+its dominant cost (backward of expm at d=2^7: 313 s vs 0.039 s for a plain
+matmul — report/report/report.tex:245-255). The TPU rebuild differs
+structurally:
+
+- fixed Padé order 13 for all inputs (order dispatch would be a ``lax.switch``
+  over matrix chains; at order 13 the extra matmuls are cheap MXU work and the
+  approximant is accurate for every post-scaling norm, avoiding the reference's
+  order-selection control flow and its ``pade9`` crash bug, expm.py:147),
+- data-dependent squaring count executed as a masked ``lax.while_loop`` so
+  batched inputs each square exactly as often as their norm requires,
+- gradients via ``jax.custom_vjp``: the cotangent is the exact Fréchet
+  derivative L(Aᵀ, Ḡ), evaluated with the [[Aᵀ, Ḡ], [0, Aᵀ]] block-matrix
+  identity (one 2d×2d expm) — no differentiation through the squaring chain,
+  no O(pade-terms) residual tape. This is the "exact gradients, not the
+  commuting approximation" requirement of report.tex:230-237.
+
+All entry points are batched over arbitrary leading axes and jit/vmap/scan
+safe.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qoc_tpu.ops.linalg import conjugate_transpose, mul, one_norm
+
+__all__ = ["expm", "expm_pade", "expm_eigh", "expm_frechet"]
+
+# Padé-13 numerator coefficients b_0..b_13 (Higham 2005, Table 10.4; also used
+# by scipy.linalg.expm). The denominator shares them with alternating signs.
+_B = (
+    64764752532480000.0,
+    32382376266240000.0,
+    7771770303897600.0,
+    1187353796428800.0,
+    129060195264000.0,
+    10559470521600.0,
+    670442572800.0,
+    33522128640.0,
+    1323241920.0,
+    40840800.0,
+    960960.0,
+    16380.0,
+    182.0,
+    1.0,
+)
+
+# theta_13: largest 1-norm for which the order-13 approximant meets double
+# rounding error (Higham 2005 Table 2.3; reference expm.py:206).
+_THETA_13 = 5.371920351148152
+
+# Hard cap on squarings: 2^-60 scaling puts any representable norm far below
+# theta_13; the while_loop exits earlier for all practical inputs.
+_MAX_SQUARINGS = 60
+
+
+def _pade13_uv(a):
+    """Odd/even polynomial halves (U, V) of the order-13 Padé approximant."""
+    d = a.shape[-1]
+    eye = jnp.eye(d, dtype=a.dtype)
+    eye = jnp.broadcast_to(eye, a.shape)
+    a2 = mul(a, a)
+    a4 = mul(a2, a2)
+    a6 = mul(a2, a4)
+    u = mul(
+        a,
+        mul(a6, _B[13] * a6 + _B[11] * a4 + _B[9] * a2)
+        + _B[7] * a6 + _B[5] * a4 + _B[3] * a2 + _B[1] * eye,
+    )
+    v = (
+        mul(a6, _B[12] * a6 + _B[10] * a4 + _B[8] * a2)
+        + _B[6] * a6 + _B[4] * a4 + _B[2] * a2 + _B[0] * eye
+    )
+    return u, v
+
+
+def _squaring_count(a):
+    """Per-matrix squaring count s >= 0 so that ||a / 2^s||_1 <= theta_13."""
+    norm = one_norm(a)
+    # ceil(log2(norm / theta)) clamped to [0, _MAX_SQUARINGS]; log2 of 0 or
+    # subnormal norms is guarded by the maximum with 1 (=> s = 0).
+    ratio = norm / _THETA_13
+    s = jnp.ceil(jnp.log2(jnp.maximum(ratio, 1.0))).astype(jnp.int32)
+    return jnp.clip(s, 0, _MAX_SQUARINGS)
+
+
+def _expm_core(a, max_squarings=None):
+    """Scaling-and-squaring Padé-13 core.
+
+    With ``max_squarings=None`` the squaring chain is a masked
+    ``lax.while_loop`` running ``max(s)`` iterations over the batch (fast, not
+    reverse-differentiable). With a static ``max_squarings`` it is a masked
+    ``fori_loop`` (reverse-differentiable through the algorithm).
+    """
+    s = _squaring_count(a)
+    real_dt = jnp.finfo(a.dtype).dtype
+    scale = jnp.exp2(-s.astype(real_dt))
+    a_scaled = a * scale[..., None, None]
+
+    u, v = _pade13_uv(a_scaled)
+    r = jnp.linalg.solve(-u + v, u + v)
+
+    mask = s[..., None, None]
+
+    def body(i, r_):
+        return jnp.where(i < mask, mul(r_, r_), r_)
+
+    if max_squarings is None:
+        s_max = jnp.max(s)
+
+        def wcond(carry):
+            i, _ = carry
+            return i < s_max
+
+        def wbody(carry):
+            i, r_ = carry
+            return i + 1, body(i, r_)
+
+        _, r = lax.while_loop(wcond, wbody, (jnp.int32(0), r))
+    else:
+        r = lax.fori_loop(0, max_squarings, body, r)
+    return r
+
+
+def expm_pade(a, max_squarings=16):
+    """Differentiable-through Padé-13 expm with a static squaring bound.
+
+    JAX reverse-mode differentiates through the algorithm itself (scaled
+    matmuls + solve + masked squarings). Use :func:`expm` for the
+    custom-adjoint version; this variant exists as an oracle for validating
+    the custom VJP and for callers that need forward-mode (jvp).
+
+    Parity: reference expm_pade (expm.py:210-252), minus its order-selection
+    branches and the pade9 typo crash.
+    """
+    return _expm_core(a, max_squarings=max_squarings)
+
+
+@jax.custom_vjp
+def expm(a):
+    """Matrix exponential, batched over leading axes.
+
+    Forward: scaling-and-squaring Padé-13 with data-dependent squaring count.
+    Backward: exact Fréchet adjoint — cotangent Ā = L(Aᵀ, Ḡ) via one block
+    expm — replacing autograd-through-the-algorithm (the reference's 4000x
+    slowdown, report.tex:251).
+    """
+    return _expm_core(a, max_squarings=None)
+
+
+def expm_frechet(a, e):
+    """Fréchet derivative L(A, E) = d/dt expm(A + tE) |_{t=0}.
+
+    Evaluated with the block identity
+    ``expm([[A, E], [0, A]]) = [[expm(A), L(A, E)], [0, expm(A)]]``.
+    """
+    d = a.shape[-1]
+    zeros = jnp.zeros_like(a)
+    top = jnp.concatenate((a, e), axis=-1)
+    bot = jnp.concatenate((zeros, a), axis=-1)
+    block = jnp.concatenate((top, bot), axis=-2)
+    return _expm_core(block, max_squarings=None)[..., :d, d:]
+
+
+def _expm_fwd(a):
+    return _expm_core(a, max_squarings=None), a
+
+
+def _expm_bwd(a, g):
+    # JAX vjp is the linear (non-conjugating) transpose of the jvp. The jvp of
+    # expm is E -> L(A, E) = \int exp(sA) E exp((1-s)A) ds; its transpose under
+    # the bilinear pairing sum(X * Y) is G -> L(A^T, G).
+    at = jnp.swapaxes(a, -1, -2)
+    return (expm_frechet(at, g),)
+
+
+expm.defvjp(_expm_fwd, _expm_bwd)
+
+
+def expm_eigh(h):
+    """U = expm(-1j * h) for Hermitian h, via eigendecomposition.
+
+    The fast path for skew-Hermitian generators (every Schrödinger Magnus term
+    is skew-Hermitian when the user Hamiltonian is Hermitian): two matmuls and
+    an elementwise exp instead of the Padé chain. Differentiable through
+    ``jnp.linalg.eigh``.
+
+    Parity: reference expm_eigh (expm.py:257-271).
+    """
+    eigvals, p = jnp.linalg.eigh(h)
+    d = jnp.exp(-1j * eigvals)
+    return mul(p * d[..., None, :], conjugate_transpose(p))
