@@ -1,0 +1,113 @@
+"""qoc_tpu headline benchmark.
+
+Workload: the reference's published backprop benchmark config (BASELINE.md /
+report/report/report.tex:107-111, Table 3): d = 2^6 Hilbert space, 10
+controls, 10^4 time steps, one target-state infidelity — one full GRAPE
+iteration = loss + exact gradient (+ Adam update), here as a single jitted
+fused device step (Magnus-M2 + Padé-13 expm scan with remat adjoint).
+
+Baseline: the reference's autograd+numpy backprop takes 55.46 s per
+iteration on the published i7-6700K CPU (report.tex:111). vs_baseline is the
+speedup of qoc_tpu GRAPE iterations/s over that baseline's 1/55.46 it/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_SECONDS_PER_ITERATION = 55.46  # report.tex:111 (autograd, 1 CPU)
+
+D = 64                # 2^6 Hilbert dimension
+CONTROL_COUNT = 10
+SYSTEM_EVAL_COUNT = 10_000
+CONTROL_EVAL_COUNT = 10_000
+EVOLUTION_TIME = 100.0
+WARMUP_ITERATIONS = 2
+TIMED_ITERATIONS = 5
+
+
+def build_step():
+    from qoc_tpu.core.common import initialize_controls, strip_controls, \
+        slap_controls_jax
+    from qoc_tpu.core.schroedinger import build_schroedinger_loss
+    from qoc_tpu.models import (GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy, MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.standard import TargetStateInfidelity
+
+    rng = np.random.default_rng(0)
+
+    def random_hermitian(d):
+        h = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+        return (h + h.conj().T) / 2
+
+    h0 = jnp.asarray(random_hermitian(D))
+    control_ops = jnp.asarray(
+        np.stack([random_hermitian(D) for _ in range(CONTROL_COUNT)]))
+
+    def hamiltonian(controls, time_):
+        drive = jnp.tensordot(controls, control_ops, axes=(0, 0))
+        return h0 + drive + jnp.conjugate(jnp.swapaxes(drive, -1, -2))
+
+    initial = np.zeros((1, D, 1)); initial[0, 0] = 1
+    target = np.zeros((1, D, 1)); target[0, -1] = 1
+    costs = [TargetStateInfidelity(target)]
+    initial_controls, max_norms = initialize_controls(
+        True, CONTROL_COUNT, CONTROL_EVAL_COUNT, EVOLUTION_TIME, None, None)
+    pstate = GrapeSchroedingerDiscreteState(
+        True, CONTROL_COUNT, CONTROL_EVAL_COUNT, 1, costs, EVOLUTION_TIME,
+        hamiltonian, None, initial_controls, initial,
+        InterpolationPolicy.LINEAR, TIMED_ITERATIONS, 0, max_norms,
+        MagnusPolicy.M2, 0, Adam(), None, False, 0, SYSTEM_EVAL_COUNT)
+
+    loss_controls = build_schroedinger_loss(pstate)
+    shape = pstate.controls_shape
+
+    def loss_flat(flat_params):
+        controls = slap_controls_jax(True, flat_params, shape)
+        return loss_controls(controls)
+
+    optimizer = Adam()
+
+    @jax.jit
+    def train_step(params, opt_state):
+        (error, _), grads = jax.value_and_grad(loss_flat,
+                                               has_aux=True)(params)
+        opt_state, params = optimizer.update_jax(opt_state, grads, params)
+        return params, opt_state, error
+
+    params = jnp.asarray(strip_controls(True, initial_controls))
+    opt_state = optimizer.init_state(params)
+    return train_step, params, opt_state
+
+
+def main():
+    train_step, params, opt_state = build_step()
+    for _ in range(WARMUP_ITERATIONS):
+        params, opt_state, error = train_step(params, opt_state)
+    jax.block_until_ready(params)
+
+    start = time.perf_counter()
+    for _ in range(TIMED_ITERATIONS):
+        params, opt_state, error = train_step(params, opt_state)
+    jax.block_until_ready(params)
+    elapsed = time.perf_counter() - start
+
+    iterations_per_second = TIMED_ITERATIONS / elapsed
+    vs_baseline = iterations_per_second * BASELINE_SECONDS_PER_ITERATION
+    print(json.dumps({
+        "metric": "grape_iterations_per_s_d64_c10_t10k",
+        "value": round(iterations_per_second, 4),
+        "unit": "iterations/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,13 +12,19 @@ its working dtypes from JAX's x64 mode:
   runs the 6-pass bfloat16 algorithm, which is ~f32 accurate)
 """
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 __all__ = [
+    "as_complex",
     "real_dtype",
     "complex_dtype",
+    "np_real_dtype",
+    "np_complex_dtype",
+    "device_get",
     "MATMUL_PRECISION",
 ]
 
@@ -36,3 +42,42 @@ def real_dtype():
 def complex_dtype():
     """The working complex dtype (complex128 under x64 mode, else complex64)."""
     return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+
+
+def np_real_dtype():
+    return np.float64 if jax.config.jax_enable_x64 else np.float32
+
+
+def np_complex_dtype():
+    return np.complex128 if jax.config.jax_enable_x64 else np.complex64
+
+
+def _to_host(x):
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
+        # The axon TPU tunnel backend cannot transfer complex arrays to the
+        # host (UNIMPLEMENTED); split into real/imag on device and recombine.
+        real = np.asarray(jnp.real(x))
+        imag = np.asarray(jnp.imag(x))
+        return real + 1j * imag
+    return np.asarray(x)
+
+
+def as_complex(x):
+    """Cast to the working complex dtype without an on-device dtype cast at
+    the transfer boundary (the axon TPU backend only accepts complex64
+    host->device transfers; complex128 or cast-during-transfer raises
+    UNIMPLEMENTED). Host data stays numpy (jitted code embeds it as a
+    constant); traced/device data casts on device."""
+    if isinstance(x, (jax.Array, jax.core.Tracer)):
+        return x.astype(complex_dtype())
+    return np.asarray(x).astype(np_complex_dtype())
+
+
+def device_get(tree):
+    """Complex-safe replacement for ``jax.device_get`` / ``np.asarray``.
+
+    Use this for EVERY device->host pull of possibly-complex arrays: the
+    axon TPU backend raises UNIMPLEMENTED on direct complex transfers.
+    Accepts a single array or an arbitrary pytree.
+    """
+    return jax.tree_util.tree_map(_to_host, tree)

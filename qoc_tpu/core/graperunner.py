@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from qoc_tpu.config import real_dtype
+from qoc_tpu.config import device_get, real_dtype
 from qoc_tpu.core.common import (
     clip_control_norms,
     clip_control_norms_jax,
@@ -100,13 +100,13 @@ def _run_host(pstate, result, loss_flat, evolved_key, result_fields):
         clipped_flat = strip_controls(cc, controls)
         (error, final_evolved), grads = vg(jnp.asarray(clipped_flat))
         error = float(error)
+        final_evolved = device_get(final_evolved)
         if np.isnan(error):
             print("qoc_tpu: loss evaluated to NaN. If this is a Lindblad "
                   "RKDP5 run, the adaptive integrator likely exceeded "
                   "rkdp5_max_steps — raise it, relax atol, or switch to "
                   "LindbladMethod.MAGNUS_EXPM.")
-        val = (controls, error, np.asarray(final_evolved),
-               np.asarray(grads))
+        val = (controls, error, final_evolved, np.asarray(grads))
         state["cache_key"] = key
         state["cache_val"] = val
         return val
@@ -222,7 +222,7 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
         length = min(chunk, iterations_left)
         carry, rows = run_chunk(carry, length)
         _, _, done, best = carry
-        rows = jax.device_get(rows)
+        rows = device_get(rows)
         if collect_rows:
             errors, gnorms, valids, controls_rows, grads_rows, evolved_rows \
                 = rows
@@ -246,7 +246,7 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
         if bool(jax.device_get(done)):
             break
 
-    best = jax.device_get(best)
+    best = device_get(best)
     setattr(result, controls_field,
             slap_controls(cc, np.asarray(best["controls_flat"]), shape))
     setattr(result, error_field, float(best["error"]))

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from qoc_tpu.config import complex_dtype, real_dtype
+from qoc_tpu.config import (as_complex, complex_dtype, device_get,
+                            np_complex_dtype, real_dtype)
 from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.graperunner import run_grape
 from qoc_tpu.core.schroedinger import _check_interpolation, _magnus_fn
@@ -47,7 +48,6 @@ __all__ = ["evolve_lindblad_discrete", "grape_lindblad_discrete"]
 def _make_rhs(pstate, controls, cet):
     """Time-dependent Lindbladian RHS closure (reference
     lindbladdiscrete.py:444-495)."""
-    cdt = complex_dtype()
     hamiltonian = pstate.hamiltonian
     lindblad_data = pstate.lindblad_data
 
@@ -57,16 +57,13 @@ def _make_rhs(pstate, controls, cet):
         else:
             controls_t = None
         if hamiltonian is not None:
-            h = jnp.asarray(hamiltonian(controls_t, time), dtype=cdt)
+            h = as_complex(hamiltonian(controls_t, time))
         else:
             h = None
         if lindblad_data is not None:
             dissipators, operators = lindblad_data(time)
             if operators is not None:
-                operators = jnp.asarray(np.asarray(operators)
-                                        if not isinstance(operators,
-                                                          jnp.ndarray)
-                                        else operators, dtype=cdt)
+                operators = as_complex(operators)
         else:
             dissipators, operators = None, None
         return get_lindbladian(densities, dissipators, h, operators)
@@ -84,10 +81,10 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
     non-step costs applied to the final densities.
     """
     _check_interpolation(pstate.interpolation_policy)
-    cdt = complex_dtype()
     rdt = real_dtype()
-    initial_densities = jnp.asarray(np.asarray(pstate.initial_densities),
-                                    dtype=cdt)
+    # Host-numpy constant (see core/schroedinger.py note on axon transfers).
+    initial_densities = np.asarray(pstate.initial_densities).astype(
+        np_complex_dtype())
     dt = float(pstate.dt)
     system_eval_count = pstate.system_eval_count
     final_step = pstate.final_system_eval_step
@@ -115,15 +112,12 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
                     controls_t = interpolate_linear_set(t, cet, controls)
                 else:
                     controls_t = None
-                h = (jnp.asarray(hamiltonian(controls_t, t), dtype=cdt)
+                h = (as_complex(hamiltonian(controls_t, t))
                      if hamiltonian is not None else None)
                 if lindblad_data is not None:
                     dissipators, operators = lindblad_data(t)
                     if operators is not None:
-                        operators = jnp.asarray(np.asarray(operators)
-                                                if not isinstance(
-                                                    operators, jnp.ndarray)
-                                                else operators, dtype=cdt)
+                        operators = as_complex(operators)
                 else:
                     dissipators, operators = None, None
                 return lindblad_superoperator(dissipators, h, operators,
@@ -214,16 +208,16 @@ def evolve_lindblad_discrete(evolution_time, initial_densities,
                                differentiable=False, remat=False)
     loss = jax.jit(loss)
     if controls is not None:
-        controls = jnp.asarray(np.asarray(controls), dtype=complex_dtype())
+        controls = np.asarray(controls).astype(np_complex_dtype())
     out = loss(controls)
     if collect:
         error, final_densities, intermediates = out
-        result.intermediate_densities = np.asarray(intermediates)
+        result.intermediate_densities = device_get(intermediates)
         pstate.save_intermediate_densities(result.intermediate_densities)
     else:
         error, final_densities = out
     result.error = float(error)
-    result.final_densities = np.asarray(final_densities)
+    result.final_densities = device_get(final_densities)
     return result
 
 

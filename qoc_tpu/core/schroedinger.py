@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from qoc_tpu.config import complex_dtype, real_dtype
+from qoc_tpu.config import (as_complex, complex_dtype, device_get,
+                            np_complex_dtype, real_dtype)
 from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.graperunner import run_grape
 from qoc_tpu.models import (
@@ -54,7 +55,8 @@ def _check_interpolation(interpolation_policy):
 
 
 def build_schroedinger_loss(pstate, collect_intermediates=False,
-                            remat=True):
+                            remat=True, hamiltonian_override=None,
+                            pvary_axes=None):
     """Build the jitted-to-be loss: controls (complex (E, C) or None) ->
     (error, final_states[, intermediate_states]).
 
@@ -62,16 +64,27 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
     (reference schroedingerdiscrete.py:356-438): steps k = 1..S-1 propagate
     then accumulate step costs at cost-mesh points; non-step costs applied to
     the final states.
+
+    ``hamiltonian_override`` substitutes the pstate's Hamiltonian callable —
+    used by the ensemble path to close each member's parameters into the
+    shared propagation structure (parallel/ensemble.py).
+
+    ``pvary_axes`` marks the initial state carry as varying over the given
+    mesh axes — required when the loss runs inside ``shard_map`` and the
+    Hamiltonian varies per shard (the scan carry must enter with the same
+    varying-axis type it exits with).
     """
     _check_interpolation(pstate.interpolation_policy)
-    cdt = complex_dtype()
     rdt = real_dtype()
-    initial_states = jnp.asarray(np.asarray(pstate.initial_states),
-                                 dtype=cdt)
+    # Host-numpy constant (embedded at trace time; complex h2d transfers of
+    # non-complex64 dtypes are UNIMPLEMENTED on the axon backend).
+    initial_states = np.asarray(pstate.initial_states).astype(
+        np_complex_dtype())
     dt = float(pstate.dt)
     system_eval_count = pstate.system_eval_count
     final_step = pstate.final_system_eval_step
-    hamiltonian = pstate.hamiltonian
+    hamiltonian = (hamiltonian_override if hamiltonian_override is not None
+                   else pstate.hamiltonian)
     magnus = _magnus_fn(pstate.magnus_policy)
     cet = (jnp.asarray(pstate.control_eval_times, dtype=rdt)
            if pstate.control_eval_times is not None else None)
@@ -87,8 +100,8 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
                 controls_t = interpolate_linear_set(t, cet, controls)
             else:
                 controls_t = None
-            h = jnp.asarray(hamiltonian(controls_t, t), dtype=cdt)
-            return -1j * h
+            h = hamiltonian(controls_t, t)
+            return -1j * as_complex(h)
         step_unitary = expm(magnus(generator, dt, time))
         return mul(step_unitary, states)
 
@@ -108,7 +121,12 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
 
         body_fn = jax.checkpoint(body) if remat else body
         ks = jnp.arange(1, system_eval_count)
-        carry = (initial_states, jnp.asarray(0.0, dtype=rdt))
+        states0 = initial_states
+        error0 = jnp.asarray(0.0, dtype=rdt)
+        if pvary_axes:
+            states0 = lax.pvary(states0, pvary_axes)
+            error0 = lax.pvary(error0, pvary_axes)
+        carry = (states0, error0)
         (states, error), intermediates = lax.scan(body_fn, carry, ks)
         for cost in costs:
             if not cost.requires_step_evaluation:
@@ -156,16 +174,16 @@ def evolve_schroedinger_discrete(evolution_time, hamiltonian, initial_states,
                                    remat=False)
     loss = jax.jit(loss)
     if controls is not None:
-        controls = jnp.asarray(np.asarray(controls), dtype=complex_dtype())
+        controls = np.asarray(controls).astype(np_complex_dtype())
     out = loss(controls)
     if collect:
         error, final_states, intermediates = out
-        result.intermediate_states = np.asarray(intermediates)
+        result.intermediate_states = device_get(intermediates)
         pstate.save_intermediate_states(result.intermediate_states)
     else:
         error, final_states = out
     result.error = float(error)
-    result.final_states = np.asarray(final_states)
+    result.final_states = device_get(final_states)
     return result
 
 

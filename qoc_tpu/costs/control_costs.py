@@ -28,10 +28,10 @@ class ControlNorm(Cost):
                  control_weights=None, cost_multiplier=1.0,
                  max_control_norms=None):
         super().__init__(cost_multiplier=cost_multiplier)
-        self.control_weights = (jnp.asarray(np.asarray(control_weights))
+        self.control_weights = (np.asarray(control_weights)
                                 if control_weights is not None else None)
         self.controls_size = control_eval_count * control_count
-        self.max_control_norms = (jnp.asarray(np.asarray(max_control_norms))
+        self.max_control_norms = (np.asarray(max_control_norms)
                                   if max_control_norms is not None else None)
 
     def cost(self, controls, states, system_eval_step):
@@ -54,7 +54,7 @@ class ControlArea(Cost):
         super().__init__(cost_multiplier=cost_multiplier)
         self.control_count = control_count
         self.control_size = control_count * control_eval_count
-        self.max_control_norms = (jnp.asarray(np.asarray(max_control_norms))
+        self.max_control_norms = (np.asarray(max_control_norms)
                                   if max_control_norms is not None else None)
 
     def cost(self, controls, states, system_eval_step):
@@ -76,7 +76,7 @@ class ControlVariation(Cost):
     def __init__(self, control_count, control_eval_count,
                  cost_multiplier=1.0, max_control_norms=None, order=1):
         super().__init__(cost_multiplier=cost_multiplier)
-        self.max_control_norms = (jnp.asarray(np.asarray(max_control_norms))
+        self.max_control_norms = (np.asarray(max_control_norms)
                                   if max_control_norms is not None else None)
         self.diffs_size = control_count * (control_eval_count - order)
         self.order = order

@@ -16,9 +16,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from qoc_tpu.config import complex_dtype
+from qoc_tpu.config import np_complex_dtype
 from qoc_tpu.models import Cost
-from qoc_tpu.ops.linalg import conjugate_transpose
 
 __all__ = ["TargetDensityInfidelity", "TargetDensityInfidelityTime",
            "ForbidDensities"]
@@ -36,11 +35,12 @@ class TargetDensityInfidelity(Cost):
 
     def __init__(self, target_densities, cost_multiplier=1.0):
         super().__init__(cost_multiplier=cost_multiplier)
-        target_densities = jnp.asarray(np.asarray(target_densities),
-                                       dtype=complex_dtype())
+        target_densities = np.asarray(target_densities).astype(
+            np_complex_dtype())
         self.density_count = target_densities.shape[0]
         self.hilbert_size = target_densities.shape[1]
-        self.target_densities_dagger = conjugate_transpose(target_densities)
+        self.target_densities_dagger = np.conjugate(
+            np.swapaxes(target_densities, -1, -2))
 
     def cost(self, controls, densities, system_eval_step):
         prods = jnp.matmul(self.target_densities_dagger, densities)
@@ -60,11 +60,12 @@ class TargetDensityInfidelityTime(Cost):
                  cost_multiplier=1.0):
         super().__init__(cost_multiplier=cost_multiplier)
         self.cost_eval_count = (system_eval_count - 1) // cost_eval_step
-        target_densities = jnp.asarray(np.asarray(target_densities),
-                                       dtype=complex_dtype())
+        target_densities = np.asarray(target_densities).astype(
+            np_complex_dtype())
         self.density_count = target_densities.shape[0]
         self.hilbert_size = target_densities.shape[1]
-        self.target_densities_dagger = conjugate_transpose(target_densities)
+        self.target_densities_dagger = np.conjugate(
+            np.swapaxes(target_densities, -1, -2))
 
     def cost(self, controls, densities, system_eval_step):
         prods = jnp.matmul(self.target_densities_dagger, densities)
@@ -89,14 +90,13 @@ class ForbidDensities(Cost):
     def __init__(self, forbidden_densities, system_eval_count,
                  cost_eval_step=1, cost_multiplier=1.0):
         super().__init__(cost_multiplier=cost_multiplier)
-        cdt = complex_dtype()
+        cdt = np_complex_dtype()
         if isinstance(forbidden_densities, (list, tuple)):
-            per_density = [jnp.asarray(np.asarray(f), dtype=cdt)
+            per_density = [np.asarray(f).astype(cdt)
                            for f in forbidden_densities]
             self.hilbert_size = per_density[0].shape[-1]
         else:
-            forbidden_densities = jnp.asarray(np.asarray(forbidden_densities),
-                                              dtype=cdt)
+            forbidden_densities = np.asarray(forbidden_densities).astype(cdt)
             self.hilbert_size = forbidden_densities.shape[3]
             per_density = [forbidden_densities[i]
                            for i in range(forbidden_densities.shape[0])]
@@ -106,8 +106,8 @@ class ForbidDensities(Cost):
                                             * density_count)
         self.forbidden_densities_count = np.array(
             [f.shape[0] for f in per_density])
-        self.forbidden_densities_dagger = [conjugate_transpose(f)
-                                           for f in per_density]
+        self.forbidden_densities_dagger = [
+            np.conjugate(np.swapaxes(f, -1, -2)) for f in per_density]
 
     def cost(self, controls, densities, system_eval_step):
         total = 0.0

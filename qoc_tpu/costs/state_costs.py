@@ -10,9 +10,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from qoc_tpu.config import complex_dtype
+from qoc_tpu.config import np_complex_dtype
 from qoc_tpu.models import Cost
-from qoc_tpu.ops.linalg import conjugate_transpose
 
 __all__ = ["TargetStateInfidelity", "TargetStateInfidelityTime",
            "ForbidStates"]
@@ -48,10 +47,12 @@ class TargetStateInfidelity(Cost):
         if kwargs:
             raise TypeError("Unexpected kwargs: {}".format(sorted(kwargs)))
         super().__init__(cost_multiplier=cost_multiplier)
-        target_states = jnp.asarray(np.asarray(target_states),
-                                    dtype=complex_dtype())
+        target_states = np.asarray(target_states).astype(np_complex_dtype())
         self.state_count = target_states.shape[0]
-        self.target_states_dagger = conjugate_transpose(target_states)
+        # Host-numpy constant: embedded at trace time, never an eager device
+        # op (the axon TPU backend cannot transfer complex arrays back).
+        self.target_states_dagger = np.conjugate(
+            np.swapaxes(target_states, -1, -2))
         self.neglect_relative_phase = neglect_relative_phase
 
     def cost(self, controls, states, system_eval_step):
@@ -83,10 +84,12 @@ class TargetStateInfidelityTime(Cost):
             raise TypeError("Unexpected kwargs: {}".format(sorted(kwargs)))
         super().__init__(cost_multiplier=cost_multiplier)
         self.cost_eval_count = (system_eval_count - 1) // cost_eval_step
-        target_states = jnp.asarray(np.asarray(target_states),
-                                    dtype=complex_dtype())
+        target_states = np.asarray(target_states).astype(np_complex_dtype())
         self.state_count = target_states.shape[0]
-        self.target_states_dagger = conjugate_transpose(target_states)
+        # Host-numpy constant: embedded at trace time, never an eager device
+        # op (the axon TPU backend cannot transfer complex arrays back).
+        self.target_states_dagger = np.conjugate(
+            np.swapaxes(target_states, -1, -2))
         self.neglect_relative_phase = neglect_relative_phase
 
     def cost(self, controls, states, system_eval_step):
@@ -122,13 +125,11 @@ class ForbidStates(Cost):
     def __init__(self, forbidden_states, system_eval_count, cost_eval_step=1,
                  cost_multiplier=1.0):
         super().__init__(cost_multiplier=cost_multiplier)
-        cdt = complex_dtype()
+        cdt = np_complex_dtype()
         if isinstance(forbidden_states, (list, tuple)):
-            per_state = [jnp.asarray(np.asarray(f), dtype=cdt)
-                         for f in forbidden_states]
+            per_state = [np.asarray(f).astype(cdt) for f in forbidden_states]
         else:
-            forbidden_states = jnp.asarray(np.asarray(forbidden_states),
-                                           dtype=cdt)
+            forbidden_states = np.asarray(forbidden_states).astype(cdt)
             per_state = [forbidden_states[i]
                          for i in range(forbidden_states.shape[0])]
         state_count = len(per_state)
@@ -137,8 +138,8 @@ class ForbidStates(Cost):
                                             * state_count)
         self.forbidden_states_count = np.array(
             [f.shape[0] for f in per_state])
-        self.forbidden_states_dagger = [conjugate_transpose(f)
-                                        for f in per_state]
+        self.forbidden_states_dagger = [
+            np.conjugate(np.swapaxes(f, -1, -2)) for f in per_state]
 
     def cost(self, controls, states, system_eval_step):
         total = 0.0

@@ -24,7 +24,14 @@ _M6_C2 = 0.5
 _M6_C3 = 0.5 + math.sqrt(15) / 10
 _M6_F0 = math.sqrt(15) / 3
 _M6_F1 = 10.0 / 3.0
-_M6_F2 = 0.5
+# DIVERGENCE from the reference: mathmethods.py:130 uses _M6_F2 = 1/2, which
+# empirically degrades the M6 scheme to ~3rd order. The Blanes-Casas-Oteo-Ros
+# sixth-order Gauss-Legendre Magnus formula is
+#   Omega = b1 + b3/12 + (1/240)[-20 b1 - b3 + [b1,b2], b2 - (1/60)[b1, 2 b3
+#           + [b1,b2]]],
+# i.e. the b3 coefficient is 1/12; with it the one-step error converges at
+# ~O(dt^7) (verified against scipy.solve_ivp in tests/test_ops.py).
+_M6_F2 = 1.0 / 12.0
 _M6_F3 = 1.0 / 240.0
 _M6_F4 = 1.0 / 60.0
 

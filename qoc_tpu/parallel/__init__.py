@@ -1,0 +1,23 @@
+"""qoc_tpu.parallel - mesh sharding and ensemble-robust GRAPE (L5)."""
+
+from qoc_tpu.parallel.ensemble import (
+    build_ensemble_loss,
+    grape_schroedinger_ensemble,
+)
+from qoc_tpu.parallel.sharding import (
+    ENSEMBLE_AXIS,
+    initialize_distributed,
+    make_mesh,
+    replicated,
+    shard_leading_axis,
+)
+
+__all__ = [
+    "ENSEMBLE_AXIS",
+    "build_ensemble_loss",
+    "grape_schroedinger_ensemble",
+    "initialize_distributed",
+    "make_mesh",
+    "replicated",
+    "shard_leading_axis",
+]
