@@ -47,9 +47,12 @@ def build_step():
         h = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
         return (h + h.conj().T) / 2
 
-    h0 = jnp.asarray(random_hermitian(D))
-    control_ops = jnp.asarray(
-        np.stack([random_hermitian(D) for _ in range(CONTROL_COUNT)]))
+    # Host-numpy complex64 constants: embedded at trace time (the axon TPU
+    # backend cannot round-trip complex device arrays at trace constants).
+    h0 = random_hermitian(D).astype(np.complex64)
+    control_ops = np.stack(
+        [random_hermitian(D) for _ in range(CONTROL_COUNT)]).astype(
+            np.complex64)
 
     def hamiltonian(controls, time_):
         drive = jnp.tensordot(controls, control_ops, axes=(0, 0))
@@ -91,12 +94,14 @@ def main():
     train_step, params, opt_state = build_step()
     for _ in range(WARMUP_ITERATIONS):
         params, opt_state, error = train_step(params, opt_state)
-    jax.block_until_ready(params)
+    # Sync via a scalar pull: on the axon TPU tunnel, block_until_ready
+    # returns without blocking; transferring the (real) error does not.
+    float(error)
 
     start = time.perf_counter()
     for _ in range(TIMED_ITERATIONS):
         params, opt_state, error = train_step(params, opt_state)
-    jax.block_until_ready(params)
+    float(error)
     elapsed = time.perf_counter() - start
 
     iterations_per_second = TIMED_ITERATIONS / elapsed

@@ -21,9 +21,9 @@ from qoc_tpu.standard import (
 
 # Define the system (eq. 19 of arXiv:1904.06560).
 HILBERT_SIZE = 2
-ANNIHILATION_OPERATOR = jnp.asarray(get_annihilation_operator(HILBERT_SIZE))
-CREATION_OPERATOR = jnp.asarray(get_creation_operator(HILBERT_SIZE))
-H_SYSTEM_0 = jnp.asarray(SIGMA_Z) / 2
+ANNIHILATION_OPERATOR = get_annihilation_operator(HILBERT_SIZE)
+CREATION_OPERATOR = get_creation_operator(HILBERT_SIZE)
+H_SYSTEM_0 = SIGMA_Z / 2
 
 hamiltonian = lambda controls, time: (H_SYSTEM_0
                                       + controls[0] * ANNIHILATION_OPERATOR

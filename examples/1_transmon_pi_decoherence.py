@@ -18,7 +18,6 @@ from qoc_tpu.standard import (
     SIGMA_Z,
     LBFGSB,
     TargetDensityInfidelity,
-    conjugate_transpose,
     generate_save_file_path,
     get_annihilation_operator,
     get_creation_operator,
@@ -28,12 +27,11 @@ from qoc_tpu.standard import (
 HILBERT_SIZE = 2
 ANNIHILATION_OPERATOR = get_annihilation_operator(HILBERT_SIZE)
 CREATION_OPERATOR = get_creation_operator(HILBERT_SIZE)
-H_SYSTEM_0 = jnp.asarray(SIGMA_Z) / 2
-A_J = jnp.asarray(ANNIHILATION_OPERATOR)
-AD_J = jnp.asarray(CREATION_OPERATOR)
+H_SYSTEM_0 = SIGMA_Z / 2
 
-hamiltonian = lambda controls, time: (H_SYSTEM_0 + controls[0] * A_J
-                                      + jnp.conjugate(controls[0]) * AD_J)
+hamiltonian = lambda controls, time: (
+    H_SYSTEM_0 + controls[0] * ANNIHILATION_OPERATOR
+    + jnp.conjugate(controls[0]) * CREATION_OPERATOR)
 
 # T1-type decoherence (fig. 11 of Koch et al., Ann. Phys. 2017).
 LINDBLAD_OPERATORS = np.stack((ANNIHILATION_OPERATOR,))
@@ -47,10 +45,10 @@ INITIAL_STATE_0 = np.array([[1], [0]])
 TARGET_STATE_0 = np.array([[0], [1]])
 INITIAL_STATES = np.stack((INITIAL_STATE_0,), axis=0)
 TARGET_STATES = np.stack((TARGET_STATE_0,), axis=0)
-INITIAL_DENSITIES = np.matmul(
-    INITIAL_STATES, np.asarray(conjugate_transpose(jnp.asarray(INITIAL_STATES))))
-TARGET_DENSITIES = np.matmul(
-    TARGET_STATES, np.asarray(conjugate_transpose(jnp.asarray(TARGET_STATES))))
+INITIAL_DENSITIES = INITIAL_STATES @ np.conjugate(
+    np.swapaxes(INITIAL_STATES, -1, -2))
+TARGET_DENSITIES = TARGET_STATES @ np.conjugate(
+    np.swapaxes(TARGET_STATES, -1, -2))
 COSTS = [TargetDensityInfidelity(TARGET_DENSITIES)]
 
 # Define the optimization.

@@ -142,7 +142,7 @@ def _run_host(pstate, result, loss_flat, evolved_key, result_fields):
 def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
     cc = pstate.complex_controls
     shape = pstate.controls_shape
-    mcn = jnp.asarray(np.asarray(pstate.max_control_norms))
+    mcn = np.asarray(pstate.max_control_norms)
     optimizer = pstate.optimizer
     min_error = pstate.min_error
     collect_rows = pstate.should_save

@@ -88,7 +88,7 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
     dt = float(pstate.dt)
     system_eval_count = pstate.system_eval_count
     final_step = pstate.final_system_eval_step
-    cet = (jnp.asarray(pstate.control_eval_times, dtype=rdt)
+    cet = (np.asarray(pstate.control_eval_times, dtype=rdt)
            if pstate.control_eval_times is not None else None)
     step_costs = pstate.step_costs
     costs = pstate.costs

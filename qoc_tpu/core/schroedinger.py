@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from qoc_tpu.config import (as_complex, complex_dtype, device_get,
-                            np_complex_dtype, real_dtype)
+from qoc_tpu.config import (MATMUL_PRECISION, as_complex, complex_dtype,
+                            device_get, np_complex_dtype, real_dtype)
 from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.graperunner import run_grape
 from qoc_tpu.models import (
@@ -56,7 +56,7 @@ def _check_interpolation(interpolation_policy):
 
 def build_schroedinger_loss(pstate, collect_intermediates=False,
                             remat=True, hamiltonian_override=None,
-                            pvary_axes=None):
+                            pvary_axes=None, time_block_size=None):
     """Build the jitted-to-be loss: controls (complex (E, C) or None) ->
     (error, final_states[, intermediate_states]).
 
@@ -73,6 +73,11 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
     mesh axes — required when the loss runs inside ``shard_map`` and the
     Hamiltonian varies per shard (the scan carry must enter with the same
     varying-axis type it exits with).
+
+    ``time_block_size`` sets how many time steps are batched per sequential
+    block (None = auto-sized to ~64 MB of propagator buffer). Within a block
+    all Magnus terms and expms are computed batched and composed by a
+    log-depth associative scan; only blocks are sequential.
     """
     _check_interpolation(pstate.interpolation_policy)
     rdt = real_dtype()
@@ -86,14 +91,26 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
     hamiltonian = (hamiltonian_override if hamiltonian_override is not None
                    else pstate.hamiltonian)
     magnus = _magnus_fn(pstate.magnus_policy)
-    cet = (jnp.asarray(pstate.control_eval_times, dtype=rdt)
+    # Host-numpy: closed-over device arrays force a device->host constant
+    # materialization at lowering time, which stalls on the axon tunnel.
+    cet = (np.asarray(pstate.control_eval_times, dtype=rdt)
            if pstate.control_eval_times is not None else None)
     step_costs = pstate.step_costs
     costs = pstate.costs
     cost_eval_step = pstate.cost_eval_step
 
-    def propagate_step(states, controls, time):
-        """One Magnus + expm step from ``time`` to ``time + dt``
+    n_steps = system_eval_count - 1
+    d = initial_states.shape[-2]
+    if time_block_size is None:
+        # Auto block size: cap the (B, d, d) propagator buffers near 64 MB of
+        # complex64 so large-d problems stay within HBM comfortably.
+        time_block_size = max(1, min(n_steps, (8 * 1024 * 1024) // (d * d)))
+    block = int(time_block_size)
+    n_blocks = -(-n_steps // block)
+    pad = n_blocks * block - n_steps
+
+    def step_unitary_at(controls, time):
+        """Magnus + expm propagator for [time, time + dt]
         (reference _evolve_step_schroedinger_discrete, :441-502)."""
         def generator(t):
             if controls is not None and cet is not None:
@@ -102,41 +119,69 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
                 controls_t = None
             h = hamiltonian(controls_t, t)
             return -1j * as_complex(h)
-        step_unitary = expm(magnus(generator, dt, time))
-        return mul(step_unitary, states)
+        return expm(magnus(generator, dt, time))
+
+    def step_cost_values(controls, states, k):
+        step_error = jnp.asarray(0.0, dtype=rdt)
+        for cost in step_costs:
+            step_error = step_error + cost.cost(controls, states, k)
+        is_cost_step = (k % cost_eval_step) == 0
+        return jnp.where(is_cost_step, step_error, 0.0)
 
     def loss(controls):
-        def body(carry, k):
+        # TPU-native propagation: the step unitaries depend on controls, not
+        # on the evolving states, so each block computes all its Magnus terms
+        # and expms BATCHED (vmapped over time — MXU-dense), combines them
+        # with a log-depth associative prefix scan, and only the block-level
+        # composition is sequential. This replaces the reference's strictly
+        # sequential per-step Python loop (schroedingerdiscrete.py:393).
+        def block_body(carry, xs):
             states, error = carry
-            time = (k - 1).astype(rdt) * dt
-            states = propagate_step(states, controls, time)
+            ks_block, valid = xs
+            times = (ks_block - 1).astype(rdt) * dt
+            us = jax.vmap(lambda t: step_unitary_at(controls, t))(times)
+            eye = jnp.eye(d, dtype=us.dtype)
+            us = jnp.where(valid[:, None, None], us, eye)
+            # prefixes[j] = U_j @ ... @ U_0 within the block.
+            prefixes = lax.associative_scan(lambda a, b: mul(b, a), us)
+            # states after each step of the block: (B, K, d, 1).
+            states_all = jnp.einsum("tij,kjl->tkil", prefixes, states,
+                                    precision=MATMUL_PRECISION)
+            new_states = states_all[-1]
             if step_costs:
-                step_error = jnp.asarray(0.0, dtype=rdt)
-                for cost in step_costs:
-                    step_error = step_error + cost.cost(controls, states, k)
-                is_cost_step = (k % cost_eval_step) == 0
-                error = error + jnp.where(is_cost_step, step_error, 0.0)
-            out = states if collect_intermediates else None
-            return (states, error), out
+                block_costs = jax.vmap(
+                    lambda s, k: step_cost_values(controls, s, k)
+                )(states_all, ks_block)
+                error = error + jnp.sum(
+                    jnp.where(valid, block_costs, 0.0))
+            out = states_all if collect_intermediates else None
+            return (new_states, error), out
 
-        body_fn = jax.checkpoint(body) if remat else body
+        body_fn = jax.checkpoint(block_body) if remat else block_body
         ks = jnp.arange(1, system_eval_count)
+        if pad:
+            ks = jnp.concatenate((ks, jnp.full((pad,), system_eval_count,
+                                               dtype=ks.dtype)))
+        valid = ks < system_eval_count
+        xs = (ks.reshape(n_blocks, block), valid.reshape(n_blocks, block))
         states0 = initial_states
         error0 = jnp.asarray(0.0, dtype=rdt)
         if pvary_axes:
-            states0 = lax.pvary(states0, pvary_axes)
+            states0 = lax.pvary(jnp.asarray(states0), pvary_axes)
             error0 = lax.pvary(error0, pvary_axes)
-        carry = (states0, error0)
-        (states, error), intermediates = lax.scan(body_fn, carry, ks)
+        carry = (jnp.asarray(states0), error0)
+        (states, error), intermediates = lax.scan(body_fn, carry, xs)
         for cost in costs:
             if not cost.requires_step_evaluation:
                 error = error + cost.cost(controls, states, final_step)
         if collect_intermediates:
-            # Prepend the initial states: the reference records states at
-            # every system_eval step including step 0
-            # (schroedingerdiscrete.py:394-402).
+            # Flatten blocks, drop padding, prepend the initial states (the
+            # reference records states at every system_eval step including
+            # step 0, schroedingerdiscrete.py:394-402).
+            intermediates = intermediates.reshape(
+                (n_blocks * block,) + intermediates.shape[2:])[:n_steps]
             intermediates = jnp.concatenate(
-                (initial_states[None], intermediates), axis=0)
+                (jnp.asarray(initial_states)[None], intermediates), axis=0)
             return error, states, intermediates
         return error, states
 

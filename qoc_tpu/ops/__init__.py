@@ -10,7 +10,8 @@ from qoc_tpu.ops.linalg import (
     one_norm,
     rms_norm,
 )
-from qoc_tpu.ops.expm import expm, expm_eigh, expm_frechet, expm_pade
+from qoc_tpu.ops.expm import (expm, expm_eigh, expm_frechet, expm_pade,
+                              expm_taylor)
 from qoc_tpu.ops.interpolate import (
     interpolate_linear_points,
     interpolate_linear_set,
@@ -37,6 +38,7 @@ __all__ = [
     "expm_eigh",
     "expm_frechet",
     "expm_pade",
+    "expm_taylor",
     "interpolate_linear_points",
     "interpolate_linear_set",
     "magnus_m2",

@@ -25,13 +25,16 @@ All entry points are batched over arbitrary leading axes and jit/vmap/scan
 safe.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from qoc_tpu.ops.linalg import conjugate_transpose, mul, one_norm
 
-__all__ = ["expm", "expm_pade", "expm_eigh", "expm_frechet"]
+__all__ = ["expm", "expm_pade", "expm_taylor", "expm_eigh",
+           "expm_frechet"]
 
 # Padé-13 numerator coefficients b_0..b_13 (Higham 2005, Table 10.4; also used
 # by scipy.linalg.expm). The denominator shares them with alternating signs.
@@ -81,31 +84,80 @@ def _pade13_uv(a):
     return u, v
 
 
-def _squaring_count(a):
-    """Per-matrix squaring count s >= 0 so that ||a / 2^s||_1 <= theta_13."""
+# Taylor-19 scaling threshold: truncation error theta^20/20! ~ 4e-19 at
+# theta = 1, i.e. double-precision accurate after scaling.
+_THETA_TAYLOR = 1.0
+# 1/k! for k = 0..19.
+_TAYLOR_COEFFS = tuple(1.0 / math.factorial(k) for k in range(20))
+
+
+def _squaring_count(a, theta):
+    """Per-matrix squaring count s >= 0 so that ||a / 2^s||_1 <= theta."""
     norm = one_norm(a)
     # ceil(log2(norm / theta)) clamped to [0, _MAX_SQUARINGS]; log2 of 0 or
     # subnormal norms is guarded by the maximum with 1 (=> s = 0).
-    ratio = norm / _THETA_13
+    ratio = norm / theta
     s = jnp.ceil(jnp.log2(jnp.maximum(ratio, 1.0))).astype(jnp.int32)
     return jnp.clip(s, 0, _MAX_SQUARINGS)
 
 
-def _expm_core(a, max_squarings=None):
-    """Scaling-and-squaring Padé-13 core.
+def _taylor19(a):
+    """Degree-19 Taylor polynomial of exp(a) by Paterson-Stockmeyer.
+
+    7 matmuls, no linear solve — the TPU-preferred core: XLA's batched LU
+    (used by the Padé rational form) runs orders of magnitude slower than
+    MXU matmuls, so on accelerators the rational approximant loses to a
+    slightly longer polynomial one.
+    """
+    d = a.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype), a.shape)
+    a2 = mul(a, a)
+    a3 = mul(a2, a)
+    a4 = mul(a2, a2)
+    c = _TAYLOR_COEFFS
+
+    def chunk(k):
+        # c_k I + c_{k+1} A + c_{k+2} A^2 + c_{k+3} A^3
+        return (c[k] * eye + c[k + 1] * a + c[k + 2] * a2 + c[k + 3] * a3)
+
+    # Horner in A^4 over 5 degree-3 chunks: degrees 0..19.
+    p = chunk(16)
+    p = mul(p, a4) + chunk(12)
+    p = mul(p, a4) + chunk(8)
+    p = mul(p, a4) + chunk(4)
+    p = mul(p, a4) + chunk(0)
+    return p
+
+
+def _default_method():
+    """Approximant choice: rational Padé-13 needs a batched LU solve, which
+    is catastrophically slow on TPU backends (sequential pivoting); the
+    polynomial Taylor-19 core is pure matmuls. Both are double-precision
+    accurate after scaling."""
+    return "pade" if jax.default_backend() == "cpu" else "taylor"
+
+
+def _expm_core(a, max_squarings=None, method=None):
+    """Scaling-and-squaring core (Padé-13 or Taylor-19 approximant).
 
     With ``max_squarings=None`` the squaring chain is a masked
     ``lax.while_loop`` running ``max(s)`` iterations over the batch (fast, not
     reverse-differentiable). With a static ``max_squarings`` it is a masked
     ``fori_loop`` (reverse-differentiable through the algorithm).
     """
-    s = _squaring_count(a)
+    if method is None:
+        method = _default_method()
+    theta = _THETA_13 if method == "pade" else _THETA_TAYLOR
+    s = _squaring_count(a, theta)
     real_dt = jnp.finfo(a.dtype).dtype
     scale = jnp.exp2(-s.astype(real_dt))
     a_scaled = a * scale[..., None, None]
 
-    u, v = _pade13_uv(a_scaled)
-    r = jnp.linalg.solve(-u + v, u + v)
+    if method == "pade":
+        u, v = _pade13_uv(a_scaled)
+        r = jnp.linalg.solve(-u + v, u + v)
+    else:
+        r = _taylor19(a_scaled)
 
     mask = s[..., None, None]
 
@@ -140,7 +192,12 @@ def expm_pade(a, max_squarings=16):
     Parity: reference expm_pade (expm.py:210-252), minus its order-selection
     branches and the pade9 typo crash.
     """
-    return _expm_core(a, max_squarings=max_squarings)
+    return _expm_core(a, max_squarings=max_squarings, method="pade")
+
+
+def expm_taylor(a, max_squarings=None):
+    """Solve-free Taylor-19 scaling-and-squaring expm (the TPU default)."""
+    return _expm_core(a, max_squarings=max_squarings, method="taylor")
 
 
 @jax.custom_vjp

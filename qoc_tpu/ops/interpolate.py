@@ -35,6 +35,8 @@ def interpolate_linear_set(x, xs, ys):
     """
     # First index i with x <= xs[i], clamped so (i-1, i) is a valid bracket;
     # the clamping realizes both extrapolation branches of the reference.
+    xs = jnp.asarray(xs)
+    ys = jnp.asarray(ys)
     index = jnp.searchsorted(xs, x, side="left")
     index = jnp.clip(index, 1, xs.shape[0] - 1)
     x1 = xs[index - 1]

@@ -19,7 +19,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from qoc_tpu.config import complex_dtype, real_dtype
+from qoc_tpu.config import np_complex_dtype, np_real_dtype
 from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.graperunner import run_grape
 from qoc_tpu.core.schroedinger import build_schroedinger_loss
@@ -44,11 +44,10 @@ def build_ensemble_loss(pstate, hamiltonian, hamiltonian_params, mesh,
     sharded over ``mesh``; the returned aux is the per-member final states
     stacked along the (sharded) ensemble axis.
     """
-    hamiltonian_params = jnp.asarray(np.asarray(hamiltonian_params),
-                                     dtype=real_dtype()
-                                     if not np.iscomplexobj(
-                                         np.asarray(hamiltonian_params))
-                                     else complex_dtype())
+    hamiltonian_params = np.asarray(hamiltonian_params)
+    hamiltonian_params = hamiltonian_params.astype(
+        np_complex_dtype() if np.iscomplexobj(hamiltonian_params)
+        else np_real_dtype())
     n_members = hamiltonian_params.shape[0]
     n_shards = mesh.shape[axis_name]
     if n_members % n_shards != 0:

@@ -27,6 +27,7 @@ from qoc_tpu.costs import (
     TargetStateInfidelity,
     TargetStateInfidelityTime,
 )
+from qoc_tpu.gradutil import ans_jacobian
 from qoc_tpu.io import CustomJSONEncoder, generate_save_file_path
 from qoc_tpu.ops import (
     column_vector_list_to_matrix,
@@ -41,6 +42,11 @@ from qoc_tpu.ops import (
     rms_norm,
 )
 from qoc_tpu.optim import LBFGSB, SGD, Adam
+from qoc_tpu.plot import (
+    plot_controls,
+    plot_density_population,
+    plot_state_population,
+)
 
 __all__ = [
     # costs
@@ -57,6 +63,8 @@ __all__ = [
     # constants
     "SIGMA_X", "SIGMA_Y", "SIGMA_Z", "SIGMA_PLUS", "SIGMA_MINUS",
     "get_creation_operator", "get_annihilation_operator", "get_eij",
+    # plot
+    "plot_controls", "plot_density_population", "plot_state_population",
     # utils
-    "generate_save_file_path", "CustomJSONEncoder",
+    "ans_jacobian", "generate_save_file_path", "CustomJSONEncoder",
 ]
