@@ -135,6 +135,8 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
         # with a log-depth associative prefix scan, and only the block-level
         # composition is sequential. This replaces the reference's strictly
         # sequential per-step Python loop (schroedingerdiscrete.py:393).
+        need_trajectory = bool(step_costs) or collect_intermediates
+
         def block_body(carry, xs):
             states, error = carry
             ks_block, valid = xs
@@ -142,19 +144,36 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
             us = jax.vmap(lambda t: step_unitary_at(controls, t))(times)
             eye = jnp.eye(d, dtype=us.dtype)
             us = jnp.where(valid[:, None, None], us, eye)
-            # prefixes[j] = U_j @ ... @ U_0 within the block.
-            prefixes = lax.associative_scan(lambda a, b: mul(b, a), us)
-            # states after each step of the block: (B, K, d, 1).
-            states_all = jnp.einsum("tij,kjl->tkil", prefixes, states,
-                                    precision=MATMUL_PRECISION)
-            new_states = states_all[-1]
-            if step_costs:
-                block_costs = jax.vmap(
-                    lambda s, k: step_cost_values(controls, s, k)
-                )(states_all, ks_block)
-                error = error + jnp.sum(
-                    jnp.where(valid, block_costs, 0.0))
-            out = states_all if collect_intermediates else None
+            if need_trajectory:
+                # prefixes[j] = U_j @ ... @ U_0 within the block; every
+                # intermediate state is needed for step costs / recording.
+                prefixes = lax.associative_scan(lambda a, b: mul(b, a), us)
+                # states after each step of the block: (B, K, d, 1).
+                states_all = jnp.einsum("tij,kjl->tkil", prefixes, states,
+                                        precision=MATMUL_PRECISION)
+                new_states = states_all[-1]
+                if step_costs:
+                    block_costs = jax.vmap(
+                        lambda s, k: step_cost_values(controls, s, k)
+                    )(states_all, ks_block)
+                    error = error + jnp.sum(
+                        jnp.where(valid, block_costs, 0.0))
+                out = states_all if collect_intermediates else None
+            else:
+                # Only the block product is needed: log-depth pairwise tree
+                # reduce (half the matmuls of the prefix scan, and no
+                # per-step state materialization). Reshape-based pairing
+                # keeps the reductions contiguous (no strided gathers).
+                while us.shape[0] > 1:
+                    n = us.shape[0]
+                    if n % 2:
+                        us = jnp.concatenate(
+                            (us, jnp.broadcast_to(eye, (1, d, d))), axis=0)
+                        n += 1
+                    pairs = us.reshape(n // 2, 2, d, d)
+                    us = mul(pairs[:, 1], pairs[:, 0])
+                new_states = mul(us[0], states)
+                out = None
             return (new_states, error), out
 
         body_fn = jax.checkpoint(block_body) if remat else block_body
