@@ -21,6 +21,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: tunnel compiles are slow; repeat bench runs
+# (and driver reruns) hit the cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_SECONDS_PER_ITERATION = 55.46  # report.tex:111 (autograd, 1 CPU)
 
 D = 64                # 2^6 Hilbert dimension

@@ -39,6 +39,7 @@ from qoc_tpu.models import (
 from qoc_tpu.ops.expm import expm
 from qoc_tpu.ops.interpolate import interpolate_linear_set
 from qoc_tpu.ops.lindblad import get_lindbladian, lindblad_superoperator
+from qoc_tpu.ops.linalg import mul
 from qoc_tpu.ops.rkdp5 import integrate_rkdp5, integrate_rkdp5_scan
 from qoc_tpu.optim import Adam
 
@@ -124,13 +125,93 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
                                               hilbert_size=hilbert_size)
             return generator
 
-        def advance(densities, controls, time):
+        # Blocked batched propagation (same design as the Schrödinger path,
+        # core/schroedinger.py): superoperator expms for a whole time block
+        # computed batched, composed with a prefix scan (trajectory needed)
+        # or a contiguous pairwise tree reduce (final state only).
+        sop_dim = hilbert_size * hilbert_size
+        n_steps = system_eval_count - 1
+        block = max(1, min(n_steps,
+                           (8 * 1024 * 1024) // max(sop_dim * sop_dim, 1)))
+        n_blocks = -(-n_steps // block)
+        pad = n_blocks * block - n_steps
+        need_trajectory = bool(step_costs) or collect_intermediates
+
+        def loss(controls):
             generator = make_superop_generator(controls)
-            step_propagator = expm(magnus(generator, dt, time))
-            vec = densities.reshape(density_count,
-                                    hilbert_size * hilbert_size)
-            vec = jnp.matmul(vec, step_propagator.T)
-            return vec.reshape(density_count, hilbert_size, hilbert_size)
+
+            def block_body(carry, xs):
+                vec, error = carry  # (K, d^2)
+                ks_block, valid = xs
+                times = (ks_block - 1).astype(rdt) * dt
+                sops = jax.vmap(
+                    lambda t: expm(magnus(generator, dt, t)))(times)
+                eye = jnp.eye(sop_dim, dtype=sops.dtype)
+                sops = jnp.where(valid[:, None, None], sops, eye)
+                if need_trajectory:
+                    prefixes = lax.associative_scan(
+                        lambda a, b: mul(b, a), sops)
+                    vec_all = jnp.einsum("tij,kj->tki", prefixes, vec)
+                    new_vec = vec_all[-1]
+                    densities_all = vec_all.reshape(
+                        vec_all.shape[0], density_count, hilbert_size,
+                        hilbert_size)
+                    if step_costs:
+                        def one_step_cost(dens, k):
+                            step_error = jnp.asarray(0.0, dtype=rdt)
+                            for cost in step_costs:
+                                step_error = step_error + cost.cost(
+                                    controls, dens, k)
+                            is_cost_step = (k % cost_eval_step) == 0
+                            return jnp.where(is_cost_step, step_error, 0.0)
+                        block_costs = jax.vmap(one_step_cost)(
+                            densities_all, ks_block)
+                        error = error + jnp.sum(
+                            jnp.where(valid, block_costs, 0.0))
+                    out = densities_all if collect_intermediates else None
+                else:
+                    while sops.shape[0] > 1:
+                        n = sops.shape[0]
+                        if n % 2:
+                            sops = jnp.concatenate(
+                                (sops, jnp.broadcast_to(
+                                    eye, (1, sop_dim, sop_dim))), axis=0)
+                            n += 1
+                        pairs = sops.reshape(n // 2, 2, sop_dim, sop_dim)
+                        sops = mul(pairs[:, 1], pairs[:, 0])
+                    new_vec = jnp.einsum("ij,kj->ki", sops[0], vec)
+                    out = None
+                return (new_vec, error), out
+
+            body_fn = jax.checkpoint(block_body) if remat else block_body
+            ks = jnp.arange(1, system_eval_count)
+            if pad:
+                ks = jnp.concatenate(
+                    (ks, jnp.full((pad,), system_eval_count,
+                                  dtype=ks.dtype)))
+            valid = ks < system_eval_count
+            xs = (ks.reshape(n_blocks, block),
+                  valid.reshape(n_blocks, block))
+            vec0 = jnp.asarray(
+                initial_densities.reshape(density_count, sop_dim))
+            carry = (vec0, jnp.asarray(0.0, dtype=rdt))
+            (vec, error), intermediates = lax.scan(body_fn, carry, xs)
+            densities = vec.reshape(density_count, hilbert_size,
+                                    hilbert_size)
+            for cost in costs:
+                if not cost.requires_step_evaluation:
+                    error = error + cost.cost(controls, densities,
+                                              final_step)
+            if collect_intermediates:
+                intermediates = intermediates.reshape(
+                    (n_blocks * block,) + intermediates.shape[2:])[:n_steps]
+                intermediates = jnp.concatenate(
+                    (jnp.asarray(initial_densities)[None], intermediates),
+                    axis=0)
+                return error, densities, intermediates
+            return error, densities
+
+        return loss
     else:
         integrate = (integrate_rkdp5_scan if differentiable
                      else integrate_rkdp5)
