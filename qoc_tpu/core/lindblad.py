@@ -144,8 +144,9 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
                 vec, error = carry  # (K, d^2)
                 ks_block, valid = xs
                 times = (ks_block - 1).astype(rdt) * dt
-                sops = jax.vmap(
-                    lambda t: expm(magnus(generator, dt, t)))(times)
+                mags = jax.vmap(
+                    lambda t: magnus(generator, dt, t))(times)
+                sops = expm(mags)
                 eye = jnp.eye(sop_dim, dtype=sops.dtype)
                 sops = jnp.where(valid[:, None, None], sops, eye)
                 if need_trajectory:

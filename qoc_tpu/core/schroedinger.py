@@ -109,8 +109,8 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
     n_blocks = -(-n_steps // block)
     pad = n_blocks * block - n_steps
 
-    def step_unitary_at(controls, time):
-        """Magnus + expm propagator for [time, time + dt]
+    def magnus_term_at(controls, time):
+        """Magnus generator for the step [time, time + dt]
         (reference _evolve_step_schroedinger_discrete, :441-502)."""
         def generator(t):
             if controls is not None and cet is not None:
@@ -119,7 +119,7 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
                 controls_t = None
             h = hamiltonian(controls_t, t)
             return -1j * as_complex(h)
-        return expm(magnus(generator, dt, time))
+        return magnus(generator, dt, time)
 
     def step_cost_values(controls, states, k):
         step_error = jnp.asarray(0.0, dtype=rdt)
@@ -141,7 +141,10 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
             states, error = carry
             ks_block, valid = xs
             times = (ks_block - 1).astype(rdt) * dt
-            us = jax.vmap(lambda t: step_unitary_at(controls, t))(times)
+            # One batched expm over the whole block (single kernel; lets the
+            # Pallas fused kernel take the batch as its grid).
+            mags = jax.vmap(lambda t: magnus_term_at(controls, t))(times)
+            us = expm(mags)
             eye = jnp.eye(d, dtype=us.dtype)
             us = jnp.where(valid[:, None, None], us, eye)
             if need_trajectory:

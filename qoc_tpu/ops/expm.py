@@ -34,7 +34,7 @@ from jax import lax
 from qoc_tpu.ops.linalg import conjugate_transpose, mul, one_norm
 
 __all__ = ["expm", "expm_pade", "expm_taylor", "expm_eigh",
-           "expm_frechet"]
+           "expm_frechet", "set_expm_forward"]
 
 # Padé-13 numerator coefficients b_0..b_13 (Higham 2005, Table 10.4; also used
 # by scipy.linalg.expm). The denominator shares them with alternating signs.
@@ -129,6 +129,31 @@ def _taylor19(a):
     return p
 
 
+# Forward-implementation override: "auto" picks Taylor on accelerators and
+# Pade on CPU; "pallas" routes the custom-vjp forward AND the Frechet
+# backward through the fused Pallas kernel (float32, TPU only).
+_EXPM_FORWARD = {"impl": "auto"}
+
+
+def set_expm_forward(impl):
+    """Select the expm forward implementation: 'auto' | 'taylor' | 'pade' |
+    'pallas'."""
+    if impl not in ("auto", "taylor", "pade", "pallas"):
+        raise ValueError("Unknown expm forward implementation: {}"
+                         "".format(impl))
+    _EXPM_FORWARD["impl"] = impl
+
+
+def _forward_impl(a):
+    impl = _EXPM_FORWARD["impl"]
+    if impl == "pallas":
+        from qoc_tpu.ops.expm_pallas import expm_taylor_pallas
+        return expm_taylor_pallas(a)
+    if impl == "auto":
+        return _expm_core(a, max_squarings=None)
+    return _expm_core(a, max_squarings=None, method=impl)
+
+
 def _default_method():
     """Approximant choice: rational Padé-13 needs a batched LU solve, which
     is catastrophically slow on TPU backends (sequential pivoting); the
@@ -209,7 +234,7 @@ def expm(a):
     expm — replacing autograd-through-the-algorithm (the reference's 4000x
     slowdown, report.tex:251).
     """
-    return _expm_core(a, max_squarings=None)
+    return _forward_impl(a)
 
 
 def expm_frechet(a, e):
@@ -223,11 +248,11 @@ def expm_frechet(a, e):
     top = jnp.concatenate((a, e), axis=-1)
     bot = jnp.concatenate((zeros, a), axis=-1)
     block = jnp.concatenate((top, bot), axis=-2)
-    return _expm_core(block, max_squarings=None)[..., :d, d:]
+    return _forward_impl(block)[..., :d, d:]
 
 
 def _expm_fwd(a):
-    return _expm_core(a, max_squarings=None), a
+    return _forward_impl(a), a
 
 
 def _expm_bwd(a, g):
