@@ -82,3 +82,26 @@ def test_custom_json_encoder():
     assert decoded["a"] == 3
     assert decoded["c"] == [0, 1, 2]
     assert decoded["d"] == {"re": 1.0, "im": 2.0}
+
+
+def test_resume_load_controls(tmp_path):
+    from qoc_tpu.io import load_best_controls, load_controls
+    hamiltonian = lambda c, t: jnp.asarray(SIGMA_Z) / 2 + c[0] * jnp.eye(2)
+    initial_states = np.array([[[1.0], [0.0]]])
+    target_states = np.array([[[0.0], [1.0]]])
+    save_path = str(tmp_path / "00000_resume.h5")
+    result = grape_schroedinger_discrete(
+        1, 5, [TargetStateInfidelity(target_states)], 4, hamiltonian,
+        initial_states, 5, complex_controls=True, iteration_count=6,
+        log_iteration_step=0, save_file_path=save_path, save_iteration_step=1)
+    controls, error, index = load_best_controls(save_path)
+    assert controls.shape == (5, 1)
+    assert np.isclose(error, result.best_error, rtol=1e-6)
+    last_controls, last_error = load_controls(save_path, -1)
+    assert last_controls.shape == (5, 1)
+    # resume from the loaded controls
+    resumed = grape_schroedinger_discrete(
+        1, 5, [TargetStateInfidelity(target_states)], 4, hamiltonian,
+        initial_states, 5, complex_controls=True, iteration_count=3,
+        log_iteration_step=0, initial_controls=controls)
+    assert resumed.best_error <= error + 1e-9
