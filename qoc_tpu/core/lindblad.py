@@ -73,7 +73,7 @@ def _make_rhs(pstate, controls, cet):
 
 
 def build_lindblad_loss(pstate, collect_intermediates=False,
-                        differentiable=True, remat=True):
+                        differentiable=True, remat="auto"):
     """Build the loss: controls -> (error, final_densities[, intermediates]).
 
     Mirrors _evaluate_lindblad_discrete (reference lindbladdiscrete.py:
@@ -100,6 +100,14 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
     max_steps = getattr(pstate, "rkdp5_max_steps", 16384)
     hilbert_size = initial_densities.shape[-1]
     density_count = initial_densities.shape[0]
+    if remat == "auto":
+        # See core/schroedinger.py: store residuals when they fit in HBM.
+        dim = (hilbert_size * hilbert_size
+               if method == LindbladMethod.MAGNUS_EXPM
+               else hilbert_size * density_count * 60)
+        residual_bytes = (10 * initial_densities.itemsize
+                          * (system_eval_count - 1) * dim * dim)
+        remat = residual_bytes > 4 * 1024 ** 3
 
     if method == LindbladMethod.MAGNUS_EXPM:
         magnus = _magnus_fn(getattr(pstate, "magnus_policy_",
