@@ -53,12 +53,24 @@ def np_complex_dtype():
 
 
 def _to_host(x):
-    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
-        # The axon TPU tunnel backend cannot transfer complex arrays to the
-        # host (UNIMPLEMENTED); split into real/imag on device and recombine.
+    # The axon TPU tunnel backend only reliably transfers floating-point
+    # arrays to the host (complex and bool raise UNIMPLEMENTED). Route
+    # everything through floats:
+    # - complex: split into real/imag on device, recombine on host;
+    # - bool/int: cast to float32/float64 on device, cast back on host
+    #   (exact for |v| < 2^24 / 2^53 — iteration counters and flags).
+    if not hasattr(x, "dtype"):
+        return np.asarray(x)
+    dtype = x.dtype
+    if jnp.issubdtype(dtype, jnp.complexfloating):
         real = np.asarray(jnp.real(x))
         imag = np.asarray(jnp.imag(x))
         return real + 1j * imag
+    if dtype == jnp.bool_:
+        return np.asarray(x.astype(jnp.float32)) > 0.5
+    if jnp.issubdtype(dtype, jnp.integer):
+        via = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        return np.asarray(x.astype(via)).astype(np.dtype(dtype.name))
     return np.asarray(x)
 
 

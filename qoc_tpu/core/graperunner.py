@@ -182,36 +182,82 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
         opt_state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(done, old, new), new_opt_state,
             opt_state)
+        # Row leaves are all real floats: the axon backend cannot stack or
+        # transfer bool/complex reliably, so `valid` travels as f32 and the
+        # final states/densities as a real/imag pair.
+        valid_f = valid.astype(error.dtype)
         if collect_rows:
-            rows = (error, grads_norm, valid, clipped_flat, grads,
-                    final_evolved)
+            rows = (error, grads_norm, valid_f, clipped_flat, grads,
+                    jnp.real(final_evolved), jnp.imag(final_evolved))
         else:
-            rows = (error, grads_norm, valid)
+            rows = (error, grads_norm, valid_f)
         return (params, opt_state, new_done, best), rows
+
+    # Chunk execution strategy:
+    # - "scan": lax.scan over the chunk — ONE dispatch per chunk. Best when
+    #   compiles are cheap (CPU/GPU and most TPU stacks).
+    # - "stepwise": jit one iteration, Python-loop it with async dispatch and
+    #   pull rows only at chunk boundaries. Used on the axon TPU tunnel,
+    #   whose compiler takes unboundedly long on scan-of-grad graphs while
+    #   the single iteration compiles in seconds. Semantics are identical.
+    fused_mode = getattr(pstate, "fused_mode", None)
+    if fused_mode is None:
+        fused_mode = ("stepwise" if jax.default_backend() not in ("cpu",)
+                      else "scan")
 
     chunk_cache = {}
 
+    @jax.jit
+    def step_with_rows(carry, rowbufs, i_f):
+        # Rows accumulate into preallocated device buffers inside the jit:
+        # no eager stacking ops (wide eager concatenates die on axon), one
+        # dispatch per iteration, one float pull per chunk. The row index
+        # travels as float32 (the only transfer dtype axon accepts) and is
+        # cast on device.
+        i = i_f.astype(jnp.int32)
+        carry, rows = iteration_step(carry, None)
+        rowbufs = jax.tree_util.tree_map(
+            lambda buf, row: buf.at[i].set(row), rowbufs, rows)
+        return carry, rowbufs
+
     def run_chunk(carry, length):
+        if fused_mode == "stepwise":
+            row_shapes = jax.eval_shape(
+                lambda c: iteration_step(c, None)[1], carry)
+            rowbufs = jax.tree_util.tree_map(
+                lambda sh: jnp.zeros((length,) + sh.shape, dtype=sh.dtype),
+                row_shapes)
+            for i in range(length):
+                carry, rowbufs = step_with_rows(
+                    carry, rowbufs, jnp.asarray(float(i), jnp.float32))
+            return carry, rowbufs
         if length not in chunk_cache:
             chunk_cache[length] = jax.jit(
                 lambda c: lax.scan(iteration_step, c, None, length=length))
         return chunk_cache[length](carry)
 
     x0 = strip_controls(cc, np.asarray(pstate.initial_controls))
-    params = jnp.asarray(x0, dtype=rdt)
-    opt_state = optimizer.init_state(params)
-    # Seed best with a forward shape probe (zeros; overwritten on iteration 0
-    # because error < MAX always).
-    probe_shape = jax.eval_shape(loss_flat, params)[1]
-    best = {
-        "error": jnp.asarray(np.finfo(np.float64).max, dtype=rdt),
-        "controls_flat": jnp.zeros_like(params),
-        "final_evolved": jnp.zeros(probe_shape.shape,
-                                   dtype=probe_shape.dtype),
-        "iteration": jnp.asarray(0, dtype=jnp.int32),
-        "count": jnp.asarray(0, dtype=jnp.int32),
-    }
-    done = jnp.asarray(False)
+    # Only the float params cross host->device; every bool/int/complex carry
+    # leaf is born ON device inside a jit (the axon backend rejects
+    # non-float transfers, and eager scalar puts are non-float transfers).
+    probe_shape = jax.eval_shape(loss_flat, jnp.zeros(x0.shape, dtype=rdt))[1]
+
+    @jax.jit
+    def make_initial_carry(params_):
+        opt_state_ = optimizer.init_state(params_)
+        best_ = {
+            "error": jnp.asarray(np.finfo(np.dtype(rdt).name).max,
+                                 dtype=rdt),
+            "controls_flat": jnp.zeros_like(params_),
+            "final_evolved": jnp.zeros(probe_shape.shape,
+                                       dtype=probe_shape.dtype),
+            "iteration": jnp.zeros((), dtype=jnp.int32),
+            "count": jnp.zeros((), dtype=jnp.int32),
+        }
+        return opt_state_, jnp.zeros((), dtype=jnp.bool_), best_
+
+    params = jnp.asarray(x0.astype(np.dtype(rdt).name))
+    opt_state, done, best = make_initial_carry(params)
 
     chunk = int(getattr(pstate, "fused_chunk", 0) or _DEFAULT_CHUNK)
     iterations_left = pstate.iteration_count
@@ -224,11 +270,12 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
         _, _, done, best = carry
         rows = device_get(rows)
         if collect_rows:
-            errors, gnorms, valids, controls_rows, grads_rows, evolved_rows \
-                = rows
+            (errors, gnorms, valids, controls_rows, grads_rows, evolved_re,
+             evolved_im) = rows
+            evolved_rows = evolved_re + 1j * evolved_im
         else:
             errors, gnorms, valids = rows
-        n_valid = int(np.sum(valids))
+        n_valid = int(np.sum(valids > 0.5))
         all_errors.append(np.asarray(errors)[:n_valid])
         for j in range(n_valid):
             iteration = global_iter + j
@@ -243,7 +290,7 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
                     evolved_rows[j], grads_cf, evolved_key)
         global_iter += n_valid
         iterations_left -= length
-        if bool(jax.device_get(done)):
+        if bool(device_get(done)):
             break
 
     best = device_get(best)
