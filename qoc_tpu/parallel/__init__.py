@@ -4,6 +4,7 @@ from qoc_tpu.parallel.ensemble import (
     build_ensemble_loss,
     grape_schroedinger_ensemble,
 )
+from qoc_tpu.parallel.multistart import grape_schroedinger_multistart
 from qoc_tpu.parallel.sharding import (
     ENSEMBLE_AXIS,
     initialize_distributed,
@@ -16,6 +17,7 @@ __all__ = [
     "ENSEMBLE_AXIS",
     "build_ensemble_loss",
     "grape_schroedinger_ensemble",
+    "grape_schroedinger_multistart",
     "initialize_distributed",
     "make_mesh",
     "replicated",

@@ -81,3 +81,21 @@ def test_ensemble_member_count_divisibility_checked():
     except ValueError:
         raised = True
     assert raised
+
+
+def test_multistart_beats_or_matches_single_start():
+    from qoc_tpu.parallel import grape_schroedinger_multistart
+    hamiltonian0, initial_states, target_states = _ensemble_setup()
+    hamiltonian = lambda c, t: hamiltonian0(np.zeros(1), c, t)
+    costs = [TargetStateInfidelity(target_states)]
+    result = grape_schroedinger_multistart(
+        1, 11, costs, 10, hamiltonian, initial_states, 11, n_starts=8,
+        complex_controls=True, iteration_count=60, log_iteration_step=0,
+        mesh=make_mesh(8, axis_name="candidate"),
+        optimizer=Adam(learning_rate=0.02))
+    assert result.errors.shape == (8,)
+    assert result.best_error == result.errors.min()
+    assert result.best_controls.shape == (11, 1)
+    assert np.isfinite(result.best_error)
+    # best candidate made progress from ~0.97 initial error
+    assert result.best_error < 0.5
