@@ -5,13 +5,14 @@ The reference drives optimization through per-iteration host callbacks
 _esdj_wrap:293-353): every iteration pays a Python round trip. qoc_tpu keeps
 that host loop only where it is forced to (scipy L-BFGS-B line searches, or a
 non-traceable ``impose_control_conditions`` hook) and otherwise runs a
-**fused on-device loop**: ``lax.scan`` over whole chunks of iterations, each
-iteration = clip-project -> value_and_grad of the jitted propagation loss ->
-Adam/SGD update, with best-iterate tracking in the scan carry and per-
-iteration (error, |grads|) emitted as scan outputs for exact reference-format
-logging after each chunk. One device dispatch per chunk instead of one per
-iteration is where the >=10x iteration-rate target comes from at small
-Hilbert dimensions.
+**fused on-device loop**: each iteration = clip-project -> value_and_grad of
+the jitted propagation loss -> Adam/SGD update, with best-iterate tracking in
+a device-resident carry and per-iteration (error, |grads|) rows pulled only
+at chunk boundaries for exact reference-format logging. Two chunk execution
+modes (selected per backend): ``lax.scan`` over the whole chunk (one dispatch
+per chunk, CPU/standard TPU runtimes) or a jitted single-iteration step
+Python-looped with rows accumulated into device buffers (the axon tunnel
+backend, whose compiler cannot handle scan-of-grad graphs).
 
 Reference-parity semantics preserved exactly:
 - controls are clipped to max_control_norms *outside* the differentiation

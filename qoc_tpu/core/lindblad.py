@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from qoc_tpu.config import (as_complex, complex_dtype, device_get,
-                            np_complex_dtype, real_dtype)
+from qoc_tpu.config import (as_complex, device_get, np_complex_dtype,
+                            real_dtype)
 from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.graperunner import run_grape
 from qoc_tpu.core.schroedinger import _check_interpolation, _magnus_fn

@@ -1,13 +1,16 @@
 """Schrödinger-equation evolution and GRAPE.
 
 TPU-native rebuild of /root/reference/qoc/core/schroedingerdiscrete.py. The
-reference walks the time mesh in a Python loop (``:393``) calling numpy
-expm per step and differentiates by autograd taping; here the whole
-propagation (interpolate controls -> Magnus -> expm -> state update -> step
-costs) is ONE ``lax.scan`` inside one jitted loss, rematerialized with
-``jax.checkpoint`` so the backward pass stores only the per-step state carry
-(the report's hand-adjoint O(1)-in-T memory profile, report.tex:123-127, made
-structural).
+reference walks the time mesh in a Python loop (``:393``) calling numpy expm
+per step and differentiates by autograd taping. Here the propagation exploits
+that step unitaries are state-independent: each TIME BLOCK computes all its
+Magnus terms and matrix exponentials batched (MXU-dense) and composes them in
+log depth — an associative prefix scan when the trajectory is needed, a
+pairwise tree reduce when only the final state matters — with just the blocks
+sequential under ``lax.scan``. Backward memory is governed by an auto-remat
+policy: residuals are stored when they fit in HBM (fastest) and
+rematerialized per block above that, realizing the report's hand-adjoint
+memory lesson (report.tex:123-127) without its 2759 MB autograd tape.
 """
 
 import numpy as np
@@ -16,8 +19,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from qoc_tpu.config import (MATMUL_PRECISION, as_complex, complex_dtype,
-                            device_get, np_complex_dtype, real_dtype)
+from qoc_tpu.config import (MATMUL_PRECISION, as_complex, device_get,
+                            np_complex_dtype, real_dtype)
 from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.graperunner import run_grape
 from qoc_tpu.models import (

@@ -8,7 +8,6 @@ are pure, jit-safe, and batched over arbitrary leading axes.
 import functools
 
 import jax.numpy as jnp
-from jax import lax
 
 from qoc_tpu.config import MATMUL_PRECISION
 

@@ -3,8 +3,6 @@
 Parity with /root/reference/qoc/standard/optimizers/sgd.py:7-59.
 """
 
-import numpy as np
-
 __all__ = ["SGD"]
 
 
