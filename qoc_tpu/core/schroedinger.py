@@ -226,7 +226,8 @@ def evolve_schroedinger_discrete(evolution_time, hamiltonian, initial_states,
                                  interpolation_policy=InterpolationPolicy.LINEAR,
                                  magnus_policy=MagnusPolicy.M2,
                                  save_file_path=None,
-                                 save_intermediate_states=False):
+                                 save_intermediate_states=False,
+                                 time_block_size=None):
     """Evolve state vectors under the Schrödinger equation and compute the
     total cost.
 
@@ -248,7 +249,8 @@ def evolve_schroedinger_discrete(evolution_time, hamiltonian, initial_states,
 
     collect = save_intermediate_states
     loss = build_schroedinger_loss(pstate, collect_intermediates=collect,
-                                   remat=False)
+                                   remat=False,
+                                   time_block_size=time_block_size)
     loss = jax.jit(loss)
     if controls is not None:
         controls = np.asarray(controls).astype(np_complex_dtype())
@@ -276,7 +278,8 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
                                 max_control_norms=None, min_error=0,
                                 optimizer=None, save_file_path=None,
                                 save_intermediate_states=False,
-                                save_iteration_step=0):
+                                save_iteration_step=0,
+                                time_block_size=None):
     """Optimize time-discrete controls for Schrödinger evolution (GRAPE).
 
     API parity: reference schroedingerdiscrete.py:106-252. Differences:
@@ -305,7 +308,8 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
     pstate.log_and_save_initial()
     result = GrapeSchroedingerResult()
 
-    loss_controls = build_schroedinger_loss(pstate)
+    loss_controls = build_schroedinger_loss(pstate,
+                                            time_block_size=time_block_size)
     cc = complex_controls
     shape = pstate.controls_shape
 

@@ -70,3 +70,41 @@ def test_plot_missing_intermediates_raises(tmp_path):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_live_plotting_during_optimization(tmp_path):
+    # The reference's designed use: a second process plots while the
+    # optimization is writing (tutorial.py:240-243). Exercise the FileLock
+    # coordination by plotting concurrently with a running GRAPE.
+    import threading
+
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    ad = get_creation_operator(2)
+    hamiltonian = lambda c, t: (h0 + c[0] * a + jnp.conjugate(c[0]) * ad)
+    initial = np.array([[[1.0], [0.0]]])
+    target = np.array([[[0.0], [1.0]]])
+    path = str(tmp_path / "00000_live.h5")
+
+    def optimize():
+        grape_schroedinger_discrete(
+            1, 7, [TargetStateInfidelity(target)], 5, hamiltonian, initial,
+            7, complex_controls=True, iteration_count=40,
+            log_iteration_step=0, save_file_path=path, save_iteration_step=1)
+
+    worker = threading.Thread(target=optimize)
+    worker.start()
+    rendered = 0
+    errors = []
+    while worker.is_alive():
+        if os.path.exists(path):
+            try:
+                plot_controls(path,
+                              save_file_path=str(tmp_path / "live.png"))
+                rendered += 1
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+    worker.join()
+    plot_controls(path, save_file_path=str(tmp_path / "live.png"))
+    assert not errors
+    assert os.path.getsize(str(tmp_path / "live.png")) > 0

@@ -215,3 +215,18 @@ def test_grape_impose_control_conditions_applied():
         log_iteration_step=0, impose_control_conditions=impose)
     assert result.best_controls[0, 0] == 0
     assert result.best_controls[-1, 0] == 0
+
+
+def test_time_block_size_does_not_change_results():
+    hamiltonian, initial_states, target_states = _transmon_setup()
+    costs = [TargetStateInfidelity(target_states)]
+    kwargs = dict(complex_controls=True, iteration_count=15,
+                  log_iteration_step=0)
+    default = grape_schroedinger_discrete(
+        1, 11, costs, 10, hamiltonian, initial_states, 11, **kwargs)
+    tiny_blocks = grape_schroedinger_discrete(
+        1, 11, costs, 10, hamiltonian, initial_states, 11,
+        time_block_size=3, **kwargs)
+    assert np.isclose(default.best_error, tiny_blocks.best_error, atol=1e-10)
+    assert np.allclose(default.best_controls, tiny_blocks.best_controls,
+                       atol=1e-9)
