@@ -14,6 +14,7 @@ from qoc_tpu.core import (
     evolve_schroedinger_discrete,
     grape_lindblad_discrete,
     grape_schroedinger_discrete,
+    grape_unitary,
 )
 
 __version__ = "0.1.0"
@@ -23,4 +24,5 @@ __all__ = [
     "grape_lindblad_discrete",
     "evolve_schroedinger_discrete",
     "grape_schroedinger_discrete",
+    "grape_unitary",
 ]

@@ -8,10 +8,12 @@ from qoc_tpu.core.schroedinger import (
     evolve_schroedinger_discrete,
     grape_schroedinger_discrete,
 )
+from qoc_tpu.core.unitary import grape_unitary
 
 __all__ = [
     "evolve_lindblad_discrete",
     "grape_lindblad_discrete",
     "evolve_schroedinger_discrete",
     "grape_schroedinger_discrete",
+    "grape_unitary",
 ]

@@ -230,3 +230,17 @@ def test_time_block_size_does_not_change_results():
     assert np.isclose(default.best_error, tiny_blocks.best_error, atol=1e-10)
     assert np.allclose(default.best_controls, tiny_blocks.best_controls,
                        atol=1e-9)
+
+
+def test_grape_unitary_synthesizes_x_gate():
+    from qoc_tpu import grape_unitary
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    ad = get_creation_operator(2)
+    hamiltonian = lambda c, t: (h0 + c[0] * a + jnp.conjugate(c[0]) * ad)
+    target = np.asarray(SIGMA_X, dtype=complex)
+    result = grape_unitary(1, 11, 10, hamiltonian, target, 11,
+                           complex_controls=True, iteration_count=400,
+                           log_iteration_step=0)
+    assert result.best_error < 1e-3
+    assert result.best_final_states.shape == (2, 2, 1)
