@@ -87,6 +87,11 @@ def _pade13_uv(a):
 # Taylor-19 scaling threshold: truncation error theta^20/20! ~ 4e-19 at
 # theta = 1, i.e. double-precision accurate after scaling.
 _THETA_TAYLOR = 1.0
+# Degree-8 short-circuit threshold: when EVERY matrix in the batch has
+# 1-norm <= 0.25 (the standard propagation regime, ||dt*H|| small), the
+# degree-8 polynomial (4 matmuls vs 7) is already accurate to
+# 0.25^9/9! ~ 1e-11.
+_THETA_TAYLOR_8 = 0.25
 # 1/k! for k = 0..19.
 _TAYLOR_COEFFS = tuple(1.0 / math.factorial(k) for k in range(20))
 
@@ -127,6 +132,25 @@ def _taylor19(a):
     p = mul(p, a4) + chunk(4)
     p = mul(p, a4) + chunk(0)
     return p
+
+
+def _taylor8(a):
+    """Degree-8 Taylor polynomial by Paterson-Stockmeyer (4 matmuls)."""
+    d = a.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype), a.shape)
+    a2 = mul(a, a)
+    a3 = mul(a2, a)
+    a4 = mul(a2, a2)
+    c = _TAYLOR_COEFFS
+    low = c[0] * eye + c[1] * a + c[2] * a2 + c[3] * a3
+    high = c[4] * eye + c[5] * a + c[6] * a2 + c[7] * a3 + c[8] * a4
+    return low + mul(a4, high)
+
+
+def _taylor_poly(a, norm_max):
+    """Norm-adaptive Taylor approximant: degree 8 when the whole batch is
+    small, degree 19 otherwise (runtime lax.cond, one branch executes)."""
+    return lax.cond(norm_max <= _THETA_TAYLOR_8, _taylor8, _taylor19, a)
 
 
 # Forward-implementation override: "auto" picks Taylor on accelerators and
@@ -182,7 +206,8 @@ def _expm_core(a, max_squarings=None, method=None):
         u, v = _pade13_uv(a_scaled)
         r = jnp.linalg.solve(-u + v, u + v)
     else:
-        r = _taylor19(a_scaled)
+        scaled_norm_max = jnp.max(one_norm(a_scaled))
+        r = _taylor_poly(a_scaled, scaled_norm_max)
 
     mask = s[..., None, None]
 
@@ -259,7 +284,7 @@ def _approximant(a, method):
     if method == "pade":
         u, v = _pade13_uv(a)
         return jnp.linalg.solve(-u + v, u + v)
-    return _taylor19(a)
+    return _taylor_poly(a, jnp.max(one_norm(a)))
 
 
 def _expm_bwd(a, g):
