@@ -325,7 +325,8 @@ def grape_lindblad_discrete(control_count, control_eval_count, costs,
                             save_iteration_step=0,
                             method=LindbladMethod.RKDP5, atol=1e-12,
                             rtol=0.0, rkdp5_max_steps=16384,
-                            magnus_policy=MagnusPolicy.M2):
+                            magnus_policy=MagnusPolicy.M2, fused_chunk=None,
+                            fused_mode=None):
     """Optimize time-discrete controls for Lindblad evolution (GRAPE).
 
     API parity: reference lindbladdiscrete.py:110-256 (trailing kwargs are
@@ -351,6 +352,10 @@ def grape_lindblad_discrete(control_count, control_eval_count, costs,
     pstate.rtol = rtol
     pstate.rkdp5_max_steps = rkdp5_max_steps
     pstate.magnus_policy_ = magnus_policy
+    if fused_chunk is not None:
+        pstate.fused_chunk = fused_chunk
+    if fused_mode is not None:
+        pstate.fused_mode = fused_mode
     pstate.log_and_save_initial()
     result = GrapeLindbladResult()
 

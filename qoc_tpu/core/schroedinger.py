@@ -279,7 +279,8 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
                                 optimizer=None, save_file_path=None,
                                 save_intermediate_states=False,
                                 save_iteration_step=0,
-                                time_block_size=None):
+                                time_block_size=None, fused_chunk=None,
+                                fused_mode=None):
     """Optimize time-discrete controls for Schrödinger evolution (GRAPE).
 
     API parity: reference schroedingerdiscrete.py:106-252. Differences:
@@ -305,6 +306,10 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
         iteration_count, log_iteration_step, max_control_norms,
         magnus_policy, min_error, optimizer, save_file_path,
         save_intermediate_states, save_iteration_step, system_eval_count)
+    if fused_chunk is not None:
+        pstate.fused_chunk = fused_chunk
+    if fused_mode is not None:
+        pstate.fused_mode = fused_mode
     pstate.log_and_save_initial()
     result = GrapeSchroedingerResult()
 
