@@ -244,3 +244,64 @@ def test_grape_unitary_synthesizes_x_gate():
                            log_iteration_step=0)
     assert result.best_error < 1e-3
     assert result.best_final_states.shape == (2, 2, 1)
+
+
+def test_cost_eval_step_thinning_matches_manual():
+    # Step costs must be evaluated only at system steps divisible by
+    # cost_eval_step (and never at step 0) — reference
+    # schroedingerdiscrete.py:404-415.
+    from qoc_tpu.standard import ForbidStates
+    h = _random_hermitian(3)
+    hamiltonian = lambda c, t: jnp.asarray(h)
+    states0 = _random_states(1, 3)
+    forbidden = _random_states(1, 3)[None]  # (1, 1, 3, 1)
+    system_eval_count = 9
+    cost_eval_step = 2
+    cost = ForbidStates(forbidden, system_eval_count,
+                        cost_eval_step=cost_eval_step)
+    result = evolve_schroedinger_discrete(
+        1.0, hamiltonian, states0, system_eval_count, costs=[cost],
+        cost_eval_step=cost_eval_step, save_intermediate_states=True,
+        save_file_path=None)
+    # Manual: the same cost applied to the recorded trajectory at steps
+    # k in {2, 4, 6, 8}.
+    expected = 0.0
+    for k in range(1, system_eval_count):
+        if k % cost_eval_step == 0:
+            states_k = jnp.asarray(result.intermediate_states[k])
+            expected += float(cost.cost(None, states_k, k))
+    assert np.isclose(result.error, expected, atol=1e-10)
+
+
+def test_full_grape_loss_gradient_matches_finite_differences():
+    # End-to-end gradient check of the jitted propagation loss (not just
+    # expm): interpolation -> Magnus -> expm -> costs, vs central
+    # differences on the stripped real parameters.
+    from qoc_tpu.core.common import (initialize_controls, strip_controls,
+                                     slap_controls_jax)
+    from qoc_tpu.core.schroedinger import build_schroedinger_loss
+    from qoc_tpu.models import (GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy, MagnusPolicy)
+
+    hamiltonian, initial_states, target_states = _transmon_setup()
+    costs = [TargetStateInfidelity(target_states)]
+    ic, mcn = initialize_controls(True, 1, 7, 5.0, None, None)
+    pstate = GrapeSchroedingerDiscreteState(
+        True, 1, 7, 1, costs, 5.0, hamiltonian, None, ic, initial_states,
+        InterpolationPolicy.LINEAR, 1, 0, mcn, MagnusPolicy.M4, 0, Adam(),
+        None, False, 0, 9)
+    loss = build_schroedinger_loss(pstate)
+
+    def loss_flat(p):
+        return loss(slap_controls_jax(True, p, (7, 1)))[0]
+
+    x0 = jnp.asarray(strip_controls(True, ic))
+    grad = np.asarray(jax.grad(loss_flat)(x0))
+    rng = np.random.default_rng(2)
+    eps = 1e-6
+    for idx in rng.choice(x0.size, size=5, replace=False):
+        e = np.zeros(x0.size)
+        e[idx] = 1.0
+        fd = (float(loss_flat(x0 + eps * e))
+              - float(loss_flat(x0 - eps * e))) / (2 * eps)
+        assert abs(fd - grad[idx]) < 1e-6, (idx, fd, grad[idx])
