@@ -168,9 +168,24 @@ def set_expm_forward(impl):
     _EXPM_FORWARD["impl"] = impl
 
 
+def _pallas_ok():
+    """True when the fused Pallas kernels should serve the 'auto' impl:
+    a TPU backend in float32 speed mode (the kernels compute in f32; x64
+    parity mode keeps the XLA path so CPU oracles see full doubles)."""
+    if jax.config.jax_enable_x64:
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    try:
+        from qoc_tpu.ops import expm_pallas
+        return expm_pallas._HAVE_PALLAS
+    except ImportError:  # pragma: no cover
+        return False
+
+
 def _forward_impl(a):
     impl = _EXPM_FORWARD["impl"]
-    if impl == "pallas":
+    if impl == "pallas" or (impl == "auto" and _pallas_ok()):
         from qoc_tpu.ops.expm_pallas import expm_taylor_pallas
         return expm_taylor_pallas(a)
     if impl == "auto":
@@ -299,7 +314,13 @@ def _expm_bwd(a, g):
     # - otherwise: the block-matrix Fréchet identity on the 2d-sized
     #   [[A^T, G], [0, A^T]] (one 2d expm, ~8x forward cost).
     impl = _EXPM_FORWARD["impl"]
-    method = _default_method() if impl in ("auto", "pallas") else impl
+    if impl == "pallas" or (impl == "auto" and _pallas_ok()):
+        # Fully fused path: one dual-number Pallas kernel evaluates the exact
+        # Fréchet adjoint L(Aᵀ, Ḡ) through scaling, Taylor, and squaring —
+        # valid for any norm, ~3x the forward kernel's cost, VMEM-resident.
+        from qoc_tpu.ops.expm_pallas import expm_frechet_pallas
+        return (expm_frechet_pallas(jnp.swapaxes(a, -1, -2), g),)
+    method = _default_method() if impl == "auto" else impl
     theta = _THETA_13 if method == "pade" else _THETA_TAYLOR
     s_max = jnp.max(_squaring_count(a, theta))
 

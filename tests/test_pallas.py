@@ -52,3 +52,42 @@ def test_pallas_expm_unbatched_shape(interpreted_pallas):
     got = np.asarray(expm_taylor_pallas(jnp.asarray(a)))
     assert got.shape == (6, 6)
     assert np.allclose(np.diag(got), np.exp(0.5), atol=1e-5)
+
+
+def test_pallas_frechet_matches_xla(interpreted_pallas):
+    from qoc_tpu.ops.expm import expm_frechet
+    from qoc_tpu.ops.expm_pallas import expm_frechet_pallas
+    rng = np.random.default_rng(5)
+    for scale in (0.1, 3.0):  # deg-8/no-squaring and deg-19/squaring paths
+        b = ((rng.normal(size=(3, 16, 16))
+              + 1j * rng.normal(size=(3, 16, 16))) * scale).astype(
+                  np.complex64)
+        g = ((rng.normal(size=(3, 16, 16))
+              + 1j * rng.normal(size=(3, 16, 16)))).astype(np.complex64)
+        got = np.asarray(expm_frechet_pallas(jnp.asarray(b), jnp.asarray(g)))
+        want = np.asarray(expm_frechet(jnp.asarray(b), jnp.asarray(g)))
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-4, (scale, rel)
+
+
+def test_pallas_expm_gradient_matches_xla(interpreted_pallas):
+    from qoc_tpu.ops.expm import expm, set_expm_forward
+    rng = np.random.default_rng(6)
+    h = rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))
+    h = ((h + h.conj().T) / 2).astype(np.complex64)
+    x0 = np.float32(0.37)
+
+    def loss(x):
+        u = expm(-1j * x * jnp.asarray(h))
+        return jnp.sum(jnp.abs(u - jnp.eye(8, dtype=u.dtype)) ** 2)
+
+    try:
+        set_expm_forward("pallas")
+        g_pallas = float(jax.grad(loss)(x0))
+        v_pallas = float(loss(x0))
+    finally:
+        set_expm_forward("auto")
+    g_xla = float(jax.grad(loss)(x0))
+    v_xla = float(loss(x0))
+    assert abs(v_pallas - v_xla) < 1e-4 * max(1.0, abs(v_xla))
+    assert abs(g_pallas - g_xla) < 1e-3 * max(1.0, abs(g_xla))
