@@ -127,6 +127,19 @@ def _squarings(s, p, dual):
     return lax.while_loop(cond, body, (jnp.int32(0), p))[1]
 
 
+def _fast_expm_kernel(degree, ar_ref, ai_ref, er_ref, ei_ref):
+    """Straight-line kernel for the no-squaring regime (whole batch below
+    the degree's theta): no per-matrix norm, cond, or loop — the dispatch
+    happened once at the XLA level. ~2x faster than the general kernel."""
+    d = ar_ref.shape[-1]
+    eye = jnp.eye(2 * d, dtype=jnp.float32)
+    taylor = _taylor8_m if degree == 8 else _taylor19_m
+    for j in range(ar_ref.shape[0]):  # static unroll over the group
+        p = taylor(_embed(ar_ref[j], ai_ref[j]), eye)
+        er_ref[j] = p[:d, :d]
+        ei_ref[j] = p[d:, :d]
+
+
 def _expm_kernel(ar_ref, ai_ref, er_ref, ei_ref):
     d = ar_ref.shape[-1]
     eye = jnp.eye(2 * d, dtype=jnp.float32)
@@ -199,6 +212,19 @@ def _taylor19_dual(m, eye):
     return p
 
 
+def _fast_frechet_kernel(degree, br_ref, bi_ref, gr_ref, gi_ref,
+                         lr_ref, li_ref):
+    """Straight-line dual-number Fréchet kernel for the no-squaring regime."""
+    d = br_ref.shape[-1]
+    eye = jnp.eye(2 * d, dtype=jnp.float32)
+    taylor = _taylor8_dual if degree == 8 else _taylor19_dual
+    for j in range(br_ref.shape[0]):  # static unroll over the group
+        m = (_embed(br_ref[j], bi_ref[j]), _embed(gr_ref[j], gi_ref[j]))
+        tan = taylor(m, eye)[1]
+        lr_ref[j] = tan[:d, :d]
+        li_ref[j] = tan[d:, :d]
+
+
 def _frechet_kernel(br_ref, bi_ref, gr_ref, gi_ref, lr_ref, li_ref):
     """L(B, G): Fréchet derivative of expm at B in direction G, via a
     dual-number evaluation of the full scaling-squaring-Taylor chain."""
@@ -259,14 +285,32 @@ def expm_taylor_pallas(a):
     g = _group_for(dp, dual=False)
     ar, ai, b, bp = _split_pad(a, dp, g)
     spec = _vmem_spec(dp, g)
-    er, ei = pl.pallas_call(
-        _expm_kernel,
-        grid=(bp // g,),
-        in_specs=[spec, spec],
-        out_specs=(spec, spec),
-        out_shape=(jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32),
-                   jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32)),
-    )(ar, ai)
+    shapes = (jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32),
+              jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32))
+
+    def call(kernel):
+        def branch(xr, xi):
+            return pl.pallas_call(
+                kernel,
+                grid=(bp // g,),
+                in_specs=[spec, spec],
+                out_specs=(spec, spec),
+                out_shape=shapes,
+            )(xr, xi)
+        return branch
+
+    # One batch-level norm reduction picks the kernel: straight-line
+    # degree-8/19 in the no-squaring regimes (the GRAPE propagation case —
+    # ~2x faster: no per-matrix norm/cond/while bookkeeping), the general
+    # scaling-and-squaring kernel otherwise.
+    norm_max = jnp.max(jnp.sum(jnp.sqrt(ar * ar + ai * ai), axis=-2))
+    idx = jnp.where(norm_max <= _THETA_TAYLOR_8, 0,
+                    jnp.where(norm_max <= _THETA_TAYLOR, 1, 2))
+    er, ei = lax.switch(idx, [
+        call(functools.partial(_fast_expm_kernel, 8)),
+        call(functools.partial(_fast_expm_kernel, 19)),
+        call(_expm_kernel),
+    ], ar, ai)
     if dp != d or bp != b:
         er = er[:b, :d, :d]
         ei = ei[:b, :d, :d]
@@ -291,14 +335,28 @@ def expm_frechet_pallas(b_mat, g):
     br, bi, b, bp = _split_pad(b_mat, dp, grp)
     gr, gi, _, _ = _split_pad(g, dp, grp)
     spec = _vmem_spec(dp, grp)
-    lr, li = pl.pallas_call(
-        _frechet_kernel,
-        grid=(bp // grp,),
-        in_specs=[spec, spec, spec, spec],
-        out_specs=(spec, spec),
-        out_shape=(jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32),
-                   jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32)),
-    )(br, bi, gr, gi)
+    shapes = (jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32),
+              jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32))
+
+    def call(kernel):
+        def branch(*refs):
+            return pl.pallas_call(
+                kernel,
+                grid=(bp // grp,),
+                in_specs=[spec, spec, spec, spec],
+                out_specs=(spec, spec),
+                out_shape=shapes,
+            )(*refs)
+        return branch
+
+    norm_max = jnp.max(jnp.sum(jnp.sqrt(br * br + bi * bi), axis=-2))
+    idx = jnp.where(norm_max <= _THETA_TAYLOR_8, 0,
+                    jnp.where(norm_max <= _THETA_TAYLOR, 1, 2))
+    lr, li = lax.switch(idx, [
+        call(functools.partial(_fast_frechet_kernel, 8)),
+        call(functools.partial(_fast_frechet_kernel, 19)),
+        call(_frechet_kernel),
+    ], br, bi, gr, gi)
     if dp != d or bp != b:
         lr = lr[:b, :d, :d]
         li = li[:b, :d, :d]
