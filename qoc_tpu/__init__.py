@@ -16,6 +16,7 @@ from qoc_tpu.core import (
     grape_schroedinger_discrete,
     grape_unitary,
 )
+from qoc_tpu.models import LinearHamiltonian
 
 __version__ = "0.1.0"
 
@@ -25,4 +26,5 @@ __all__ = [
     "evolve_schroedinger_discrete",
     "grape_schroedinger_discrete",
     "grape_unitary",
+    "LinearHamiltonian",
 ]

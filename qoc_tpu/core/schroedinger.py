@@ -29,9 +29,10 @@ from qoc_tpu.models import (
     GrapeSchroedingerDiscreteState,
     GrapeSchroedingerResult,
     InterpolationPolicy,
+    LinearHamiltonian,
     MagnusPolicy,
 )
-from qoc_tpu.ops.expm import expm
+from qoc_tpu.ops.expm import _EXPM_FORWARD, _pallas_ok, expm
 from qoc_tpu.ops.interpolate import interpolate_linear_set
 from qoc_tpu.ops.linalg import mul
 from qoc_tpu.ops.magnus import magnus_m2, magnus_m4, magnus_m6
@@ -138,6 +139,36 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
         is_cost_step = (k % cost_eval_step) == 0
         return jnp.where(is_cost_step, step_error, 0.0)
 
+    # Fully fused chain path: for the declared-linear Hamiltonian structure
+    # under Magnus-M2 with no per-step state consumers, each time block's
+    # generator build + expm + ordered product run inside one Pallas kernel
+    # with an exact custom VJP (ops/chain_pallas.py) — the only HBM traffic
+    # is the control weights in and the prefix residuals out.
+    fused_chain = None
+    if (isinstance(hamiltonian, LinearHamiltonian)
+            and pstate.magnus_policy == MagnusPolicy.M2
+            and not (step_costs or collect_intermediates)
+            and cet is not None
+            and (_EXPM_FORWARD["impl"] == "pallas"
+                 or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok()))):
+        from qoc_tpu.ops.chain_pallas import (chain_fused_ok,
+                                              make_chain_expm_propagate)
+        if chain_fused_ok(d, block):
+            basis = hamiltonian.generator_basis(dt).astype(
+                np_complex_dtype())
+            fused_chain = make_chain_expm_propagate(basis)
+
+    def fused_weights(controls, times):
+        """W rows [1, Re c_1, Im c_1, ...] at the step midpoints."""
+        c_mid = jax.vmap(
+            lambda t: interpolate_linear_set(t + dt / 2, cet, controls)
+        )(times)
+        c_mid = jnp.atleast_2d(c_mid)
+        ones = jnp.ones(c_mid.shape[:-1] + (1,), dtype=rdt)
+        ri = jnp.stack((jnp.real(c_mid), jnp.imag(c_mid)), axis=-1)
+        ri = ri.reshape(c_mid.shape[:-1] + (2 * c_mid.shape[-1],))
+        return jnp.concatenate((ones, ri.astype(rdt)), axis=-1)
+
     def loss(controls):
         # TPU-native propagation: the step unitaries depend on controls, not
         # on the evolving states, so each block computes all its Magnus terms
@@ -151,6 +182,12 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
             states, error = carry
             ks_block, valid = xs
             times = (ks_block - 1).astype(rdt) * dt
+            if fused_chain is not None:
+                # Zeroed weight rows make padded steps exp(0) = I exactly.
+                w = fused_weights(controls, times) * valid[:, None].astype(
+                    rdt)
+                prod = fused_chain(w)
+                return (mul(prod, states), error), None
             # One batched expm over the whole block (single kernel; lets the
             # Pallas fused kernel take the batch as its grid).
             mags = jax.vmap(lambda t: magnus_term_at(controls, t))(times)

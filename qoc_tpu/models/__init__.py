@@ -1,6 +1,7 @@
 """qoc_tpu.models - data models, policies, results (L1)."""
 
 from qoc_tpu.models.cost import Cost
+from qoc_tpu.models.hamiltonian import LinearHamiltonian
 from qoc_tpu.models.policies import (
     Dummy,
     InterpolationPolicy,
@@ -27,6 +28,7 @@ from qoc_tpu.models.results import (
 
 __all__ = [
     "Cost",
+    "LinearHamiltonian",
     "Dummy",
     "InterpolationPolicy",
     "LindbladMethod",

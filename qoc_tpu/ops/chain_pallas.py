@@ -1,0 +1,402 @@
+"""Pallas TPU kernel: fused expm-of-linear-combination chain propagation.
+
+The Schrödinger GRAPE hot loop for a *linear* control Hamiltonian
+H(c) = H0 + Σᵢ cᵢAᵢ + h.c. under Magnus-M2 is, per time block,
+
+    A_j = Σ_k W_jk G_k          (real weights W from the controls,
+                                 constant complex generator basis G)
+    U_j = exp(A_j)
+    P_j = U_j · P_{j-1}         (running product / prefixes)
+
+The unfused pipeline (H build -> batched expm kernel -> tree-reduce) writes
+each (B, d, d) intermediate to HBM several times. This kernel keeps the
+whole per-step chain in VMEM: the only HBM traffic is the (B, n_b) weight
+rows in and the (B, d, d) prefix planes out (the prefixes are this op's
+backward residuals). The basis stack lives in VMEM across the whole grid.
+
+The sequential chain would stall the MXU on the U_j·P_{j-1} dependency, so
+the batch is split into S interleaved *segments* (independent chains,
+restored to one product by S-1 small matmuls at the XLA level); each grid
+step advances all S chains, giving the MXU independent work.
+
+Backward (exact, custom VJP): with the bilinear-transpose convention used
+by ops/expm.py, the cotangents are
+
+    S_j = Ḡ_j + U_{j+1}ᵀ S_{j+1},   Ū_j = S_j P_{j-1}ᵀ,
+    Ā_j = L(A_jᵀ, Ū_j),             W̄_jk = Re[Σ_ab conj(Ā_j) ∘ G_k]
+
+Plain transposes do not commute with the real 2d-embedding E(X + iY) =
+[[X, -Y], [Y, X]] (E(Xᵀ) ≠ E(X)ᵀ), but conjugate-transposes do:
+E(X^H) = E(X)ᵀ. The backward kernel therefore carries the *conjugated*
+recursion T_j = conj(S_j):
+
+    T_j = E(U_{j+1}^H) T_{j+1}      (E(U^H) falls out of the previous
+                                     step's dual Taylor evaluation at A^H)
+    E(conj Ū_j) = T_j · E(P_{j-1})ᵀ (transposed MXU contraction)
+    (E(U_j^H), E(conj Ā_j)) = dual_taylor(E(A_j^H), E(conj Ū_j))
+
+with E(A_j^H) built in-kernel from W against a transposed basis stack.
+No transposes of embedded matrices are ever materialized.
+
+Used by core/schroedinger.py's fused propagation path for
+``LinearHamiltonian`` problems (Magnus M2, no step costs). Parity anchor:
+this replaces the reference's per-step Python loop
+(qoc/core/schroedingerdiscrete.py:393,441-502) and autograd tape.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from qoc_tpu.ops.expm import (_TAYLOR_COEFFS, _THETA_TAYLOR, _THETA_TAYLOR_8)
+from qoc_tpu.ops.expm_pallas import (_dot, _embed, _scaling_count,
+                                     _squarings, _taylor8_m, _taylor19_m,
+                                     _taylor8_dual, _taylor19_dual)
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except ImportError:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+__all__ = ["make_chain_expm_propagate", "chain_expm_propagate",
+           "chain_expm_propagate_reference", "chain_fused_ok"]
+
+_ALIGN = 64
+_SEGMENTS = 8
+
+
+def _dotT(x, y):
+    """x @ yᵀ as one MXU contraction (no materialized transpose)."""
+    return lax.dot_general(x, y, dimension_numbers=(((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)
+
+
+def chain_fused_ok(d, n_steps):
+    """Whether the fused chain kernel supports this problem size: the
+    embedded basis stack and S accumulators must fit VMEM comfortably."""
+    if not _HAVE_PALLAS:  # pragma: no cover
+        return False
+    dp = -(-d // _ALIGN) * _ALIGN
+    return dp <= 256 and n_steps >= 2 * _SEGMENTS
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _build_m(w_t, basis_ref):
+    """(S, n_b) weights x (n_b, 2dp, 2dp) basis -> (S, 2dp, 2dp) generators."""
+    return jnp.einsum("sk,kab->sab", w_t, basis_ref[:],
+                      preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGHEST)
+
+
+def _expm_embedded(m, eye2, degree):
+    """exp of one embedded generator: straight-line Taylor for the
+    no-squaring degrees, per-matrix scaling-and-squaring for degree=None."""
+    if degree == 8:
+        return _taylor8_m(m, eye2)
+    if degree == 19:
+        return _taylor19_m(m, eye2)
+    dp = m.shape[-1] // 2
+    s, scale, _ = _scaling_count(m[:dp, :dp], m[dp:, :dp])
+    return _squarings(s, _taylor19_m(m * scale, eye2), dual=False)
+
+
+def _expm_embedded_dual(m, eye2, degree):
+    if degree == 8:
+        return _taylor8_dual(m, eye2)
+    if degree == 19:
+        return _taylor19_dual(m, eye2)
+    dp = eye2.shape[-1] // 2
+    val, tan = m
+    s, scale, _ = _scaling_count(val[:dp, :dp], val[dp:, :dp])
+    p = _taylor19_dual((val * scale, tan * scale), eye2)
+    return _squarings(s, p, dual=True)
+
+
+def _chain_fwd_kernel(degree, segments, w_ref, basis_ref,
+                      pref_r_ref, pref_i_ref, acc_ref):
+    """One grid step = one time step of all S segment chains."""
+    t = pl.program_id(0)
+    dp = pref_r_ref.shape[-1]
+    eye2 = jnp.eye(2 * dp, dtype=jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        for s in range(segments):
+            acc_ref[s] = eye2
+
+    m_all = _build_m(w_ref[0], basis_ref)
+    for s in range(segments):
+        u = _expm_embedded(m_all[s], eye2, degree)
+        p = _dot(u, acc_ref[s])
+        acc_ref[s] = p
+        pref_r_ref[0, s] = p[:dp, :dp]
+        pref_i_ref[0, s] = p[dp:, :dp]
+
+
+def _chain_bwd_kernel(degree, segments, w_ref, basist_ref,
+                      prefpad_r_ref, prefpad_i_ref, seed_r_ref, seed_i_ref,
+                      abar_r_ref, abar_i_ref, t_ref, uh_ref):
+    """Reversed grid step: advance the conjugated adjoint recursion of all
+    S segments. Block index maps present step t = L-1-i blocks."""
+    i = pl.program_id(0)
+    dp = abar_r_ref.shape[-1]
+    eye2 = jnp.eye(2 * dp, dtype=jnp.float32)
+
+    # E(A^H) for every segment, from the transposed basis stack.
+    mh_all = _build_m(w_ref[0], basist_ref)
+
+    for s in range(segments):
+        # T_t: seed at the last step, else E(U_{t+1}^H) T_{t+1}.
+        def seed():
+            return _embed(seed_r_ref[s], seed_i_ref[s])
+
+        def recur():
+            return _dot(uh_ref[s], t_ref[s])
+
+        t_cur = lax.cond(i == 0, seed, recur)
+        t_ref[s] = t_cur
+        # E(conj Ū_t) = T_t E(P_{t-1})ᵀ (prefpad block IS P_{t-1}).
+        pm1 = _embed(prefpad_r_ref[0, s], prefpad_i_ref[0, s])
+        cu = _dotT(t_cur, pm1)
+        uh, cabar = _expm_embedded_dual((mh_all[s], cu), eye2, degree)
+        uh_ref[s] = uh
+        abar_r_ref[0, s] = cabar[:dp, :dp]
+        abar_i_ref[0, s] = cabar[dp:, :dp]
+
+
+# ---------------------------------------------------------------------------
+# XLA wrappers
+# ---------------------------------------------------------------------------
+
+
+def _basis_stacks(basis):
+    """Embedded basis E(G_k) and E(G_k^H) stacks, f32, padded to dp."""
+    basis = jnp.asarray(basis)
+    d = basis.shape[-1]
+    dp = -(-d // _ALIGN) * _ALIGN
+    br = jnp.real(basis).astype(jnp.float32)
+    bi = jnp.imag(basis).astype(jnp.float32)
+    if dp != d:
+        pad = ((0, 0), (0, dp - d), (0, dp - d))
+        br = jnp.pad(br, pad)
+        bi = jnp.pad(bi, pad)
+    emb = _embed(br, bi)                                  # E(G)
+    embt = _embed(jnp.swapaxes(br, -1, -2),
+                  -jnp.swapaxes(bi, -1, -2))              # E(G^H)
+    return emb, embt, d, dp
+
+
+def _reorder(w, segments):
+    """(B, n_b) row-major -> (L, S, n_b): segment s owns steps
+    [s*L, (s+1)*L); grid step t presents row t of every segment."""
+    b, n_b = w.shape
+    length = -(-b // segments)
+    bp = length * segments
+    if bp != b:
+        w = jnp.pad(w, ((0, bp - b), (0, 0)))  # zero weights -> U = I
+    return jnp.swapaxes(w.reshape(segments, length, n_b), 0, 1), length, bp
+
+
+def _norm_bound(w, basis):
+    """Upper bound on max_j ||A_j||_1 via the triangle inequality."""
+    basis_norms = jnp.max(jnp.sum(jnp.abs(jnp.asarray(basis)), axis=-2),
+                          axis=-1).astype(jnp.float32)
+    return jnp.max(jnp.abs(w) @ basis_norms)
+
+
+def _fwd_pallas(w_ord, emb, length, dp, degree):
+    segments = _SEGMENTS
+    n_b = w_ord.shape[-1]
+    w_spec = pl.BlockSpec((1, segments, n_b), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    basis_spec = pl.BlockSpec((n_b, 2 * dp, 2 * dp), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, segments, dp, dp), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    shapes = (jax.ShapeDtypeStruct((length, segments, dp, dp), jnp.float32),
+              jax.ShapeDtypeStruct((length, segments, dp, dp), jnp.float32))
+    return pl.pallas_call(
+        functools.partial(_chain_fwd_kernel, degree, segments),
+        grid=(length,),
+        in_specs=[w_spec, basis_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=shapes,
+        scratch_shapes=[pltpu.VMEM((segments, 2 * dp, 2 * dp), jnp.float32)],
+    )(w_ord, emb)
+
+
+def _bwd_pallas(w_ord, embt, prefpad_r, prefpad_i, seed_r, seed_i,
+                length, dp, degree):
+    segments = _SEGMENTS
+    n_b = w_ord.shape[-1]
+    rev = lambda i: (length - 1 - i, 0, 0)
+    rev4 = lambda i: (length - 1 - i, 0, 0, 0)
+    w_spec = pl.BlockSpec((1, segments, n_b), rev, memory_space=pltpu.VMEM)
+    basis_spec = pl.BlockSpec((n_b, 2 * dp, 2 * dp), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    # prefpad[t] = P_{t-1} (identity row prepended by the caller).
+    pref_spec = pl.BlockSpec((1, segments, dp, dp), rev4,
+                             memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((segments, dp, dp), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, segments, dp, dp), rev4,
+                            memory_space=pltpu.VMEM)
+    shapes = (jax.ShapeDtypeStruct((length, segments, dp, dp), jnp.float32),
+              jax.ShapeDtypeStruct((length, segments, dp, dp), jnp.float32))
+    return pl.pallas_call(
+        functools.partial(_chain_bwd_kernel, degree, segments),
+        grid=(length,),
+        in_specs=[w_spec, basis_spec, pref_spec, pref_spec, seed_spec,
+                  seed_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=shapes,
+        scratch_shapes=[pltpu.VMEM((segments, 2 * dp, 2 * dp), jnp.float32),
+                        pltpu.VMEM((segments, 2 * dp, 2 * dp), jnp.float32)],
+    )(w_ord, embt, prefpad_r, prefpad_i, seed_r, seed_i)
+
+
+def _degree_switch(norm_max, branches, *args):
+    """3-way runtime dispatch by the batch norm bound: straight-line
+    degree-8 / degree-19 Taylor, or per-matrix scaling-and-squaring."""
+    idx = jnp.where(norm_max <= _THETA_TAYLOR_8, 0,
+                    jnp.where(norm_max <= _THETA_TAYLOR, 1, 2))
+    return lax.switch(idx, branches, *args)
+
+
+def make_chain_expm_propagate(basis):
+    """Build P(w) = exp(A_{B-1}) ··· exp(A_1) exp(A_0), A_j = Σ_k w[j,k] G_k.
+
+    ``basis`` :: constant complex host-numpy (n_b, d, d) generator basis
+    G (closed over — embedded at trace time; pass Magnus/dt factors folded
+    in). The returned function maps real ``w`` (B, n_b) to the complex
+    (d, d) total ordered product, with an exact custom VJP to ``w``.
+    Requires max_j ||A_j||_1 <= 1 (no squaring; the GRAPE Magnus-M2 regime
+    — callers guard with :func:`chain_fused_ok` + a norm bound).
+    """
+    basis = np.asarray(basis)
+
+    @jax.custom_vjp
+    def prop(w):
+        return _chain_fwd(w, basis)[0]
+
+    def fwd(w):
+        return _chain_fwd(w, basis)
+
+    def bwd(res, gbar):
+        return _chain_bwd_vjp(basis, res, gbar)
+
+    prop.defvjp(fwd, bwd)
+    return prop
+
+
+def chain_expm_propagate(w, basis):
+    """One-shot convenience wrapper over :func:`make_chain_expm_propagate`."""
+    return make_chain_expm_propagate(np.asarray(basis))(w)
+
+
+def _chain_fwd(w, basis):
+    emb, embt, d, dp = _basis_stacks(basis)
+    w_ord, length, bp = _reorder(w.astype(jnp.float32), _SEGMENTS)
+    norm_max = _norm_bound(w, basis)
+    pref_r, pref_i = _degree_switch(
+        norm_max,
+        [lambda wo, e: _fwd_pallas(wo, e, length, dp, 8),
+         lambda wo, e: _fwd_pallas(wo, e, length, dp, 19),
+         lambda wo, e: _fwd_pallas(wo, e, length, dp, None)],
+        w_ord, emb)
+    # Segment products -> total product (S-1 small matmuls).
+    prods = (pref_r[-1, :, :d, :d] + 1j * pref_i[-1, :, :d, :d])
+    total = prods[0]
+    for s in range(1, _SEGMENTS):
+        total = prods[s] @ total
+    return total, (w_ord, pref_r, pref_i, prods, w.shape[0], length, d, dp)
+
+
+def _chain_bwd_vjp(basis, res, gbar):
+    w_ord, pref_r, pref_i, prods, b_orig, length, d, dp = res
+    emb, embt, _, _ = _basis_stacks(basis)
+    segments = _SEGMENTS
+
+    # Segment cotangents of P_total = prods[S-1] ... prods[0]:
+    # p̄_s = (suffix_{s+1})ᵀ Ḡ (prefix_{s-1})ᵀ, via running partials.
+    gbar = gbar.astype(prods.dtype)
+    prefix = jnp.eye(d, dtype=prods.dtype)      # prods[s-1] ... prods[0]
+    suffix = [None] * segments                  # prods[S-1] ... prods[s+1]
+    acc = jnp.eye(d, dtype=prods.dtype)
+    for s in range(segments - 1, -1, -1):
+        suffix[s] = acc
+        acc = acc @ prods[s]
+    seeds = []
+    for s in range(segments):
+        pbar_s = jnp.swapaxes(suffix[s], -1, -2) @ gbar \
+            @ jnp.swapaxes(prefix, -1, -2)
+        prefix = prods[s] @ prefix
+        seeds.append(jnp.conjugate(pbar_s))     # T seeds = conj(p̄_s)
+    seeds = jnp.stack(seeds)
+    seed_r = jnp.real(seeds).astype(jnp.float32)
+    seed_i = jnp.imag(seeds).astype(jnp.float32)
+    if dp != d:
+        pad = ((0, 0), (0, dp - d), (0, dp - d))
+        seed_r = jnp.pad(seed_r, pad)
+        seed_i = jnp.pad(seed_i, pad)
+
+    # prefpad[t] = P_{t-1}: identity row prepended, last prefix dropped.
+    eye_row = jnp.broadcast_to(
+        jnp.eye(dp, dtype=jnp.float32), (1, segments, dp, dp))
+    prefpad_r = jnp.concatenate((eye_row, pref_r[:-1]), axis=0)
+    zero_row = jnp.zeros_like(eye_row)
+    prefpad_i = jnp.concatenate((zero_row, pref_i[:-1]), axis=0)
+
+    norm_max = _norm_bound(w_ord.reshape(-1, w_ord.shape[-1]), basis)
+    cabar_r, cabar_i = _degree_switch(
+        norm_max,
+        [lambda *a: _bwd_pallas(*a, length, dp, 8),
+         lambda *a: _bwd_pallas(*a, length, dp, 19),
+         lambda *a: _bwd_pallas(*a, length, dp, None)],
+        w_ord, embt, prefpad_r, prefpad_i, seed_r, seed_i)
+
+    # W̄_jk = Re[Σ Ā_j ∘ G_k] — JAX's complex cotangent is the conjugate
+    # pair (dL/dAr, -dL/dAi), so the real projection onto the real weights
+    # contracts Ā (NOT conj(Ā)) bilinearly with G and takes the real part
+    # (verified against jax.vjp of an einsum+expm reference). The kernel
+    # emitted conj(Ā) planes, so Re[Ā ∘ G] = cĀr ∘ Gr + cĀi ∘ Gi.
+    basis_c = jnp.asarray(basis)
+    gk_r = jnp.real(basis_c).astype(jnp.float32)
+    gk_i = jnp.imag(basis_c).astype(jnp.float32)
+    if dp != d:
+        cabar_r = cabar_r[..., :d, :d]
+        cabar_i = cabar_i[..., :d, :d]
+    wbar_ord = (jnp.einsum("lsab,kab->lsk", cabar_r, gk_r)
+                + jnp.einsum("lsab,kab->lsk", cabar_i, gk_i))
+    # Undo the segment reorder and padding.
+    n_b = wbar_ord.shape[-1]
+    wbar = jnp.swapaxes(wbar_ord, 0, 1).reshape(segments * length, n_b)
+    return (wbar[:b_orig],)
+
+
+def chain_expm_propagate_reference(w, basis):
+    """Pure-XLA reference implementation (differentiable via expm's custom
+    VJP): used by tests as the oracle for the fused kernel."""
+    from qoc_tpu.ops.expm import expm
+    a = jnp.einsum("jk,kab->jab", w.astype(jnp.float32),
+                   jnp.asarray(basis))
+    us = expm(a)
+    d = us.shape[-1]
+
+    def body(carry, u):
+        new = u @ carry
+        return new, None
+
+    total, _ = lax.scan(body, jnp.eye(d, dtype=us.dtype), us)
+    return total

@@ -1,0 +1,161 @@
+"""Fused chain-propagation kernel tests (interpret mode on CPU; the
+compiled kernel is exercised on real TPU by bench/driver runs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture()
+def interpreted_pallas(monkeypatch):
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    yield
+
+
+def _random_basis(rng, n_b, d, scale):
+    basis = rng.normal(size=(n_b, d, d)) + 1j * rng.normal(size=(n_b, d, d))
+    return (scale * basis).astype(np.complex64)
+
+
+def test_chain_forward_and_grad_match_reference(interpreted_pallas):
+    from qoc_tpu.ops.chain_pallas import (chain_expm_propagate_reference,
+                                          make_chain_expm_propagate)
+    rng = np.random.default_rng(7)
+    d, n_b = 8, 5
+    basis = _random_basis(rng, n_b, d, 0.01)
+    tgt = (rng.normal(size=(d, d))
+           + 1j * rng.normal(size=(d, d))).astype(np.complex64)
+    for b in (8, 16, 37):  # L=1 seeds, recursion, non-divisible padding
+        w = rng.normal(size=(b, n_b)).astype(np.float32)
+        prop = make_chain_expm_propagate(basis)
+        got = np.asarray(prop(jnp.asarray(w)))
+        want = np.asarray(chain_expm_propagate_reference(jnp.asarray(w),
+                                                         basis))
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+        def loss_fused(ww):
+            return jnp.sum(jnp.abs(prop(ww) - tgt) ** 2)
+
+        def loss_ref(ww):
+            return jnp.sum(jnp.abs(
+                chain_expm_propagate_reference(ww, basis) - tgt) ** 2)
+
+        g_f = np.asarray(jax.grad(loss_fused)(jnp.asarray(w)))
+        g_r = np.asarray(jax.grad(loss_ref)(jnp.asarray(w)))
+        assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3, b
+
+
+def test_chain_large_norm_squaring_branch(interpreted_pallas):
+    from qoc_tpu.ops.chain_pallas import (chain_expm_propagate_reference,
+                                          make_chain_expm_propagate)
+    rng = np.random.default_rng(8)
+    d, n_b = 8, 4
+    hs = rng.normal(size=(n_b, d, d)) + 1j * rng.normal(size=(n_b, d, d))
+    hs = (hs + np.conj(np.swapaxes(hs, -1, -2))) / 2
+    basis = (-1j * 0.8 * hs).astype(np.complex64)  # ||A||_1 of a few
+    tgt = (rng.normal(size=(d, d))
+           + 1j * rng.normal(size=(d, d))).astype(np.complex64)
+    w = rng.normal(size=(24, n_b)).astype(np.float32)
+    prop = make_chain_expm_propagate(basis)
+    got = np.asarray(prop(jnp.asarray(w)))
+    want = np.asarray(chain_expm_propagate_reference(jnp.asarray(w), basis))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+    def lf(ww):
+        return jnp.sum(jnp.abs(prop(ww) - tgt) ** 2)
+
+    def lr(ww):
+        return jnp.sum(jnp.abs(
+            chain_expm_propagate_reference(ww, basis) - tgt) ** 2)
+
+    g_f = np.asarray(jax.grad(lf)(jnp.asarray(w)))
+    g_r = np.asarray(jax.grad(lr)(jnp.asarray(w)))
+    assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3
+
+
+def test_linear_hamiltonian_callable_formula():
+    from qoc_tpu.models import LinearHamiltonian
+    rng = np.random.default_rng(9)
+    d, n_c = 6, 3
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    ops = rng.normal(size=(n_c, d, d)) + 1j * rng.normal(size=(n_c, d, d))
+    ham = LinearHamiltonian(h0, ops)
+    c = (rng.normal(size=(n_c,)) + 1j * rng.normal(size=(n_c,)))
+    got = np.asarray(ham(jnp.asarray(c.astype(np.complex128)), 0.3))
+    want = h0.copy()
+    for i in range(n_c):
+        want = want + c[i] * ops[i] + np.conj(c[i]) * ops[i].conj().T
+    assert np.allclose(got, want, atol=1e-10)
+    # Hermitian basis reconstruction: H == 1*h0 + sum Re(c) P + Im(c) Q
+    basis = ham.hermitian_basis()
+    w = np.concatenate([[1.0], np.stack([c.real, c.imag], -1).ravel()])
+    recon = np.tensordot(w, basis, axes=(0, 0))
+    assert np.allclose(recon, want, atol=1e-10)
+
+
+def test_fused_loss_matches_generic_path(interpreted_pallas):
+    """End-to-end: the fused chain path inside build_schroedinger_loss
+    produces the same loss and gradient as the generic magnus+expm+tree
+    path for an equivalent callable Hamiltonian."""
+    from qoc_tpu.core.schroedinger import build_schroedinger_loss
+    from qoc_tpu.models import (GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy, LinearHamiltonian,
+                                MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import TargetStateInfidelity
+
+    rng = np.random.default_rng(11)
+    d, n_c, n_steps = 4, 2, 25
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    ops = (0.5 * (rng.normal(size=(n_c, d, d))
+                  + 1j * rng.normal(size=(n_c, d, d))))
+    ham_lin = LinearHamiltonian(h0, ops)
+    initial = np.zeros((1, d, 1), dtype=complex)
+    initial[0, 0] = 1
+    target = np.zeros((1, d, 1), dtype=complex)
+    target[0, -1] = 1
+    costs = [TargetStateInfidelity(target)]
+
+    def make_pstate(ham):
+        return GrapeSchroedingerDiscreteState(
+            True, n_c, n_steps, 1, costs, 2.0, ham, None,
+            np.zeros((n_steps, n_c), dtype=complex), initial,
+            InterpolationPolicy.LINEAR, 1, 0, [10.0] * n_c,
+            MagnusPolicy.M2, 0, Adam(), None, False, 0, n_steps)
+
+    controls = (0.3 * (rng.normal(size=(n_steps, n_c))
+                       + 1j * rng.normal(size=(n_steps, n_c)))).astype(
+                           np.complex64)
+
+    loss_generic = build_schroedinger_loss(make_pstate(ham_lin))
+
+    try:
+        set_expm_forward("pallas")
+        loss_fused_fn = build_schroedinger_loss(make_pstate(ham_lin),
+                                                time_block_size=10)
+        err_fused, _ = loss_fused_fn(jnp.asarray(controls))
+        g_fused = jax.grad(lambda c: loss_fused_fn(c)[0])(
+            jnp.asarray(controls))
+        err_fused = float(err_fused)
+        g_fused = np.asarray(g_fused)
+    finally:
+        set_expm_forward("auto")
+
+    err_gen, _ = loss_generic(jnp.asarray(controls))
+    g_gen = np.asarray(jax.grad(lambda c: loss_generic(c)[0])(
+        jnp.asarray(controls)))
+    assert abs(err_fused - float(err_gen)) < 1e-4
+    assert np.abs(g_fused - g_gen).max() < 1e-3 * max(
+        1.0, np.abs(g_gen).max())
