@@ -52,10 +52,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from qoc_tpu.ops.expm import (_TAYLOR_COEFFS, _THETA_TAYLOR, _THETA_TAYLOR_8)
-from qoc_tpu.ops.expm_pallas import (_dot, _embed, _scaling_count,
-                                     _squarings, _taylor8_m, _taylor19_m,
-                                     _taylor8_dual, _taylor19_dual)
+from qoc_tpu.ops.expm import _TAYLOR_COEFFS
+from qoc_tpu.ops.expm_pallas import (_F32_LADDER, _dot, _embed,
+                                     _ladder_index, _scaling_count,
+                                     _squarings, _taylor_by_degree,
+                                     _taylor_dual_by_degree, _taylor19_m,
+                                     _taylor19_dual)
 
 try:
     from jax.experimental import pallas as pl
@@ -102,20 +104,16 @@ def _build_m(w_t, basis_ref):
 def _expm_embedded(m, eye2, degree):
     """exp of one embedded generator: straight-line Taylor for the
     no-squaring degrees, per-matrix scaling-and-squaring for degree=None."""
-    if degree == 8:
-        return _taylor8_m(m, eye2)
-    if degree == 19:
-        return _taylor19_m(m, eye2)
+    if degree is not None:
+        return _taylor_by_degree(degree)(m, eye2)
     dp = m.shape[-1] // 2
     s, scale, _ = _scaling_count(m[:dp, :dp], m[dp:, :dp])
     return _squarings(s, _taylor19_m(m * scale, eye2), dual=False)
 
 
 def _expm_embedded_dual(m, eye2, degree):
-    if degree == 8:
-        return _taylor8_dual(m, eye2)
-    if degree == 19:
-        return _taylor19_dual(m, eye2)
+    if degree is not None:
+        return _taylor_dual_by_degree(degree)(m, eye2)
     dp = eye2.shape[-1] // 2
     val, tan = m
     s, scale, _ = _scaling_count(val[:dp, :dp], val[dp:, :dp])
@@ -208,11 +206,17 @@ def _reorder(w, segments):
     return jnp.swapaxes(w.reshape(segments, length, n_b), 0, 1), length, bp
 
 
-def _norm_bound(w, basis):
-    """Upper bound on max_j ||A_j||_1 via the triangle inequality."""
-    basis_norms = jnp.max(jnp.sum(jnp.abs(jnp.asarray(basis)), axis=-2),
-                          axis=-1).astype(jnp.float32)
-    return jnp.max(jnp.abs(w) @ basis_norms)
+def _exact_norm_max(w, basis):
+    """(max_j ||A_j||_1, max_j ||A_j||_inf) computed exactly (one small XLA
+    einsum + reductions; a triangle-inequality bound was measured to
+    overestimate by enough to cost a whole degree level of the f32 Taylor
+    ladder). The inf-norm is the 1-norm of A^H — the backward kernel's
+    dispatch quantity."""
+    a = jnp.abs(jnp.einsum("jk,kab->jab", w.astype(jnp.float32),
+                           jnp.asarray(basis).astype(jnp.complex64)))
+    n1 = jnp.max(jnp.sum(a, axis=-2)).astype(jnp.float32)
+    ninf = jnp.max(jnp.sum(a, axis=-1)).astype(jnp.float32)
+    return n1, ninf
 
 
 def _fwd_pallas(w_ord, emb, length, dp, degree):
@@ -266,12 +270,12 @@ def _bwd_pallas(w_ord, embt, prefpad_r, prefpad_i, seed_r, seed_i,
     )(w_ord, embt, prefpad_r, prefpad_i, seed_r, seed_i)
 
 
-def _degree_switch(norm_max, branches, *args):
-    """3-way runtime dispatch by the batch norm bound: straight-line
-    degree-8 / degree-19 Taylor, or per-matrix scaling-and-squaring."""
-    idx = jnp.where(norm_max <= _THETA_TAYLOR_8, 0,
-                    jnp.where(norm_max <= _THETA_TAYLOR, 1, 2))
-    return lax.switch(idx, branches, *args)
+def _degree_switch(norm_max, make_branch, *args):
+    """Runtime dispatch by the batch max norm over the f32 Taylor degree
+    ladder, falling through to per-matrix scaling-and-squaring."""
+    branches = [make_branch(deg) for deg, _ in _F32_LADDER]
+    branches.append(make_branch(None))
+    return lax.switch(_ladder_index(norm_max), branches, *args)
 
 
 def make_chain_expm_propagate(basis):
@@ -308,23 +312,23 @@ def chain_expm_propagate(w, basis):
 def _chain_fwd(w, basis):
     emb, embt, d, dp = _basis_stacks(basis)
     w_ord, length, bp = _reorder(w.astype(jnp.float32), _SEGMENTS)
-    norm_max = _norm_bound(w, basis)
+    norm_max, norm_inf_max = _exact_norm_max(w, basis)
     pref_r, pref_i = _degree_switch(
         norm_max,
-        [lambda wo, e: _fwd_pallas(wo, e, length, dp, 8),
-         lambda wo, e: _fwd_pallas(wo, e, length, dp, 19),
-         lambda wo, e: _fwd_pallas(wo, e, length, dp, None)],
+        lambda deg: (lambda wo, e: _fwd_pallas(wo, e, length, dp, deg)),
         w_ord, emb)
     # Segment products -> total product (S-1 small matmuls).
     prods = (pref_r[-1, :, :d, :d] + 1j * pref_i[-1, :, :d, :d])
     total = prods[0]
     for s in range(1, _SEGMENTS):
         total = prods[s] @ total
-    return total, (w_ord, pref_r, pref_i, prods, w.shape[0], length, d, dp)
+    return total, (w_ord, pref_r, pref_i, prods, norm_inf_max, w.shape[0],
+                length, d, dp)
 
 
 def _chain_bwd_vjp(basis, res, gbar):
-    w_ord, pref_r, pref_i, prods, b_orig, length, d, dp = res
+    (w_ord, pref_r, pref_i, prods, norm_inf_max, b_orig, length, d,
+     dp) = res
     emb, embt, _, _ = _basis_stacks(basis)
     segments = _SEGMENTS
 
@@ -358,12 +362,9 @@ def _chain_bwd_vjp(basis, res, gbar):
     zero_row = jnp.zeros_like(eye_row)
     prefpad_i = jnp.concatenate((zero_row, pref_i[:-1]), axis=0)
 
-    norm_max = _norm_bound(w_ord.reshape(-1, w_ord.shape[-1]), basis)
     cabar_r, cabar_i = _degree_switch(
-        norm_max,
-        [lambda *a: _bwd_pallas(*a, length, dp, 8),
-         lambda *a: _bwd_pallas(*a, length, dp, 19),
-         lambda *a: _bwd_pallas(*a, length, dp, None)],
+        norm_inf_max,
+        lambda deg: (lambda *a: _bwd_pallas(*a, length, dp, deg)),
         w_ord, embt, prefpad_r, prefpad_i, seed_r, seed_i)
 
     # W̄_jk = Re[Σ Ā_j ∘ G_k] — JAX's complex cotangent is the conjugate

@@ -61,6 +61,14 @@ _ALIGN = 64  # pad d so the embedded 2d is a multiple of the 128 MXU lanes
 _GROUP = 8   # matrices per grid step: amortizes per-step overhead and gives
              # the MXU independent dot chains to interleave (ILP)
 
+# f32-calibrated Taylor degree ladder. These kernels always compute in
+# float32, so the truncation error only needs to sit below f32 roundoff
+# (~6e-8): theta_n solves theta^(n+1)/(n+1)! * e^theta <= ~1e-8, with a
+# safety margin. (The XLA path keeps the f64-calibrated thresholds because
+# it also serves x64 parity mode.) Degrees and their Paterson-Stockmeyer
+# MXU dot counts: 4 -> 2 dots, 8 -> 4, 12 -> 5, 19 -> 7.
+_F32_LADDER = ((4, 0.05), (8, 0.45), (12, 1.2), (19, 3.0))
+
 
 def _dot(x, y):
     # HIGHEST precision: multi-pass bf16 on the MXU (~f32 accurate).
@@ -84,6 +92,29 @@ def _scaling_count(ar, ai):
         jnp.log2(jnp.maximum(norm1 / _THETA_TAYLOR, 1.0))).astype(jnp.int32)
     s = jnp.clip(s, 0, _MAX_SQUARINGS)
     return s, jnp.exp2(-s.astype(jnp.float32)), norm1
+
+
+def _taylor4_m(m, eye):
+    """Degree-4 Paterson-Stockmeyer on the embedded real matrix (2 dots)."""
+    c = _TAYLOR_COEFFS
+    m2 = _dot(m, m)
+    return (c[0] * eye + c[1] * m + c[2] * m2
+            + _dot(m2, c[3] * m + c[4] * m2))
+
+
+def _taylor12_m(m, eye):
+    """Degree-12 Paterson-Stockmeyer on the embedded real matrix (5 dots)."""
+    c = _TAYLOR_COEFFS
+    m2 = _dot(m, m)
+    m3 = _dot(m2, m)
+    m4 = _dot(m2, m2)
+
+    def chunk(k):
+        return c[k] * eye + c[k + 1] * m + c[k + 2] * m2 + c[k + 3] * m3
+
+    x2 = chunk(8) + c[12] * m4
+    x1 = chunk(4) + _dot(m4, x2)
+    return chunk(0) + _dot(m4, x1)
 
 
 def _taylor8_m(m, eye):
@@ -127,13 +158,32 @@ def _squarings(s, p, dual):
     return lax.while_loop(cond, body, (jnp.int32(0), p))[1]
 
 
+def _taylor_by_degree(degree):
+    return {4: _taylor4_m, 8: _taylor8_m, 12: _taylor12_m,
+            19: _taylor19_m}[degree]
+
+
+def _taylor_dual_by_degree(degree):
+    return {4: _taylor4_dual, 8: _taylor8_dual, 12: _taylor12_dual,
+            19: _taylor19_dual}[degree]
+
+
+def _ladder_index(norm_max):
+    """Runtime index into the f32 degree ladder (+1 past-the-end for the
+    general scaling-and-squaring kernel)."""
+    idx = jnp.int32(len(_F32_LADDER))
+    for j in range(len(_F32_LADDER) - 1, -1, -1):
+        idx = jnp.where(norm_max <= _F32_LADDER[j][1], jnp.int32(j), idx)
+    return idx
+
+
 def _fast_expm_kernel(degree, ar_ref, ai_ref, er_ref, ei_ref):
     """Straight-line kernel for the no-squaring regime (whole batch below
     the degree's theta): no per-matrix norm, cond, or loop — the dispatch
     happened once at the XLA level. ~2x faster than the general kernel."""
     d = ar_ref.shape[-1]
     eye = jnp.eye(2 * d, dtype=jnp.float32)
-    taylor = _taylor8_m if degree == 8 else _taylor19_m
+    taylor = _taylor_by_degree(degree)
     for j in range(ar_ref.shape[0]):  # static unroll over the group
         p = taylor(_embed(ar_ref[j], ai_ref[j]), eye)
         er_ref[j] = p[:d, :d]
@@ -163,6 +213,36 @@ def _dual_dot(x, y):
     v, dv = x
     w, dw = y
     return _dot(v, w), _dot(dv, w) + _dot(v, dw)
+
+
+def _taylor4_dual(m, eye):
+    c = _TAYLOR_COEFFS
+    m2 = _dual_dot(m, m)
+    inner = (c[3] * m[0] + c[4] * m2[0], c[3] * m[1] + c[4] * m2[1])
+    tail = _dual_dot(m2, inner)
+    return (c[0] * eye + c[1] * m[0] + c[2] * m2[0] + tail[0],
+            c[1] * m[1] + c[2] * m2[1] + tail[1])
+
+
+def _taylor12_dual(m, eye):
+    c = _TAYLOR_COEFFS
+    zero = jnp.zeros_like(eye)
+    m2 = _dual_dot(m, m)
+    m3 = _dual_dot(m2, m)
+    m4 = _dual_dot(m2, m2)
+
+    def chunk(k):
+        return (c[k] * eye + c[k + 1] * m[0] + c[k + 2] * m2[0]
+                + c[k + 3] * m3[0],
+                c[k + 1] * m[1] + c[k + 2] * m2[1] + c[k + 3] * m3[1])
+
+    def add(x, y):
+        return x[0] + y[0], x[1] + y[1]
+
+    q8 = chunk(8)
+    x2 = (q8[0] + c[12] * m4[0], q8[1] + c[12] * m4[1])
+    x1 = add(chunk(4), _dual_dot(m4, x2))
+    return add(chunk(0), _dual_dot(m4, x1))
 
 
 def _taylor8_dual(m, eye):
@@ -217,7 +297,7 @@ def _fast_frechet_kernel(degree, br_ref, bi_ref, gr_ref, gi_ref,
     """Straight-line dual-number Fréchet kernel for the no-squaring regime."""
     d = br_ref.shape[-1]
     eye = jnp.eye(2 * d, dtype=jnp.float32)
-    taylor = _taylor8_dual if degree == 8 else _taylor19_dual
+    taylor = _taylor_dual_by_degree(degree)
     for j in range(br_ref.shape[0]):  # static unroll over the group
         m = (_embed(br_ref[j], bi_ref[j]), _embed(gr_ref[j], gi_ref[j]))
         tan = taylor(m, eye)[1]
@@ -299,18 +379,14 @@ def expm_taylor_pallas(a):
             )(xr, xi)
         return branch
 
-    # One batch-level norm reduction picks the kernel: straight-line
-    # degree-8/19 in the no-squaring regimes (the GRAPE propagation case —
-    # ~2x faster: no per-matrix norm/cond/while bookkeeping), the general
-    # scaling-and-squaring kernel otherwise.
+    # One batch-level norm reduction picks the kernel: a straight-line
+    # degree from the f32 ladder in the no-squaring regimes (the GRAPE
+    # propagation case — no per-matrix norm/cond/while bookkeeping), the
+    # general scaling-and-squaring kernel otherwise.
     norm_max = jnp.max(jnp.sum(jnp.sqrt(ar * ar + ai * ai), axis=-2))
-    idx = jnp.where(norm_max <= _THETA_TAYLOR_8, 0,
-                    jnp.where(norm_max <= _THETA_TAYLOR, 1, 2))
-    er, ei = lax.switch(idx, [
-        call(functools.partial(_fast_expm_kernel, 8)),
-        call(functools.partial(_fast_expm_kernel, 19)),
-        call(_expm_kernel),
-    ], ar, ai)
+    branches = [call(functools.partial(_fast_expm_kernel, deg))
+                for deg, _ in _F32_LADDER] + [call(_expm_kernel)]
+    er, ei = lax.switch(_ladder_index(norm_max), branches, ar, ai)
     if dp != d or bp != b:
         er = er[:b, :d, :d]
         ei = ei[:b, :d, :d]
@@ -350,13 +426,9 @@ def expm_frechet_pallas(b_mat, g):
         return branch
 
     norm_max = jnp.max(jnp.sum(jnp.sqrt(br * br + bi * bi), axis=-2))
-    idx = jnp.where(norm_max <= _THETA_TAYLOR_8, 0,
-                    jnp.where(norm_max <= _THETA_TAYLOR, 1, 2))
-    lr, li = lax.switch(idx, [
-        call(functools.partial(_fast_frechet_kernel, 8)),
-        call(functools.partial(_fast_frechet_kernel, 19)),
-        call(_frechet_kernel),
-    ], br, bi, gr, gi)
+    branches = [call(functools.partial(_fast_frechet_kernel, deg))
+                for deg, _ in _F32_LADDER] + [call(_frechet_kernel)]
+    lr, li = lax.switch(_ladder_index(norm_max), branches, br, bi, gr, gi)
     if dp != d or bp != b:
         lr = lr[:b, :d, :d]
         li = li[:b, :d, :d]

@@ -91,3 +91,42 @@ def test_pallas_expm_gradient_matches_xla(interpreted_pallas):
     v_xla = float(loss(x0))
     assert abs(v_pallas - v_xla) < 1e-4 * max(1.0, abs(v_xla))
     assert abs(g_pallas - g_xla) < 1e-3 * max(1.0, abs(g_xla))
+
+
+def test_pallas_expm_degree_ladder_accuracy(interpreted_pallas):
+    """Every rung of the f32 Taylor degree ladder (4/8/12/19/general) must
+    match scipy at f32 tolerance on norms targeted inside its bracket."""
+    from qoc_tpu.ops.expm_pallas import expm_taylor_pallas
+    rng = np.random.default_rng(12)
+    d = 12
+    h = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h = (h + h.conj().T) / 2
+    a0 = -1j * h
+    norm0 = np.abs(a0).sum(axis=0).max()
+    for target_norm in (0.03, 0.3, 0.9, 2.2, 9.0):
+        a = (a0 * (target_norm / norm0)).astype(np.complex64)[None]
+        got = np.asarray(expm_taylor_pallas(jnp.asarray(a)))[0]
+        ref = sla.expm(a[0].astype(np.complex128))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 5e-5, (target_norm, rel)
+
+
+def test_pallas_frechet_degree_ladder_accuracy(interpreted_pallas):
+    from qoc_tpu.ops.expm import expm_frechet, set_expm_forward
+    from qoc_tpu.ops.expm_pallas import expm_frechet_pallas
+    rng = np.random.default_rng(13)
+    d = 10
+    h = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h = (h + h.conj().T) / 2
+    b0 = -1j * h
+    norm0 = np.abs(b0).sum(axis=0).max()
+    g = (rng.normal(size=(d, d))
+         + 1j * rng.normal(size=(d, d))).astype(np.complex64)[None]
+    for target_norm in (0.03, 0.3, 0.9, 2.2, 9.0):
+        b = (b0 * (target_norm / norm0)).astype(np.complex64)[None]
+        got = np.asarray(expm_frechet_pallas(jnp.asarray(b),
+                                             jnp.asarray(g)))
+        want = np.asarray(expm_frechet(jnp.asarray(b.astype(np.complex64)),
+                                       jnp.asarray(g)))
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 5e-4, (target_norm, rel)
