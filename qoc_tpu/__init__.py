@@ -16,7 +16,7 @@ from qoc_tpu.core import (
     grape_schroedinger_discrete,
     grape_unitary,
 )
-from qoc_tpu.models import LinearHamiltonian
+from qoc_tpu.models import ConstantLindblad, LinearHamiltonian
 
 __version__ = "0.1.0"
 
@@ -27,4 +27,5 @@ __all__ = [
     "grape_schroedinger_discrete",
     "grape_unitary",
     "LinearHamiltonian",
+    "ConstantLindblad",
 ]

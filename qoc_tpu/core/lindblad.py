@@ -28,15 +28,17 @@ from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.graperunner import run_grape
 from qoc_tpu.core.schroedinger import _check_interpolation, _magnus_fn
 from qoc_tpu.models import (
+    ConstantLindblad,
     EvolveLindbladDiscreteState,
     EvolveLindbladResult,
     GrapeLindbladDiscreteState,
     GrapeLindbladResult,
     InterpolationPolicy,
     LindbladMethod,
+    LinearHamiltonian,
     MagnusPolicy,
 )
-from qoc_tpu.ops.expm import expm
+from qoc_tpu.ops.expm import _EXPM_FORWARD, _pallas_ok, expm
 from qoc_tpu.ops.interpolate import interpolate_linear_set
 from qoc_tpu.ops.lindblad import get_lindbladian, lindblad_superoperator
 from qoc_tpu.ops.linalg import mul
@@ -145,6 +147,41 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
         pad = n_blocks * block - n_steps
         need_trajectory = bool(step_costs) or collect_intermediates
 
+        # Fused chain path (same design as core/schroedinger.py): the
+        # Lindblad superoperator of a LinearHamiltonian with constant
+        # dissipator data is affine in [1, Re c, Im c], so each time block's
+        # superoperator build + expm + ordered product run in one Pallas
+        # kernel with an exact custom VJP.
+        fused_chain = None
+        if (isinstance(hamiltonian, LinearHamiltonian)
+                and isinstance(lindblad_data, (ConstantLindblad,
+                                               type(None)))
+                and getattr(pstate, "magnus_policy_", MagnusPolicy.M2)
+                == MagnusPolicy.M2
+                and not need_trajectory
+                and cet is not None
+                and (_EXPM_FORWARD["impl"] == "pallas"
+                     or (_EXPM_FORWARD["impl"] == "auto"
+                         and _pallas_ok()))):
+            from qoc_tpu.ops.chain_pallas import (chain_fused_ok,
+                                                  make_chain_expm_propagate)
+            if chain_fused_ok(sop_dim, block):
+                diss, lops = (lindblad_data(0.0)
+                              if lindblad_data is not None else (None, None))
+                sop_basis = hamiltonian.superoperator_basis(
+                    dt, diss, lops).astype(np_complex_dtype())
+                fused_chain = make_chain_expm_propagate(sop_basis)
+
+        def fused_weights(controls, times):
+            c_mid = jax.vmap(
+                lambda t: interpolate_linear_set(t + dt / 2, cet, controls)
+            )(times)
+            c_mid = jnp.atleast_2d(c_mid)
+            ones = jnp.ones(c_mid.shape[:-1] + (1,), dtype=rdt)
+            ri = jnp.stack((jnp.real(c_mid), jnp.imag(c_mid)), axis=-1)
+            ri = ri.reshape(c_mid.shape[:-1] + (2 * c_mid.shape[-1],))
+            return jnp.concatenate((ones, ri.astype(rdt)), axis=-1)
+
         def loss(controls):
             generator = make_superop_generator(controls)
 
@@ -152,6 +189,14 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
                 vec, error = carry  # (K, d^2)
                 ks_block, valid = xs
                 times = (ks_block - 1).astype(rdt) * dt
+                if fused_chain is not None:
+                    # f32 at the custom_vjp boundary: the kernel computes
+                    # (and returns cotangents) in float32.
+                    w = (fused_weights(controls, times)
+                         * valid[:, None].astype(rdt)).astype(jnp.float32)
+                    prod = fused_chain(w)
+                    new_vec = jnp.einsum("ij,kj->ki", prod, vec)
+                    return (new_vec, error), None
                 mags = jax.vmap(
                     lambda t: magnus(generator, dt, t))(times)
                 sops = expm(mags)

@@ -184,8 +184,10 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
             times = (ks_block - 1).astype(rdt) * dt
             if fused_chain is not None:
                 # Zeroed weight rows make padded steps exp(0) = I exactly.
-                w = fused_weights(controls, times) * valid[:, None].astype(
-                    rdt)
+                # f32 at the custom_vjp boundary: the kernel computes (and
+                # returns cotangents) in float32.
+                w = (fused_weights(controls, times)
+                     * valid[:, None].astype(rdt)).astype(jnp.float32)
                 prod = fused_chain(w)
                 return (mul(prod, states), error), None
             # One batched expm over the whole block (single kernel; lets the

@@ -1,7 +1,8 @@
 """qoc_tpu.models - data models, policies, results (L1)."""
 
 from qoc_tpu.models.cost import Cost
-from qoc_tpu.models.hamiltonian import LinearHamiltonian
+from qoc_tpu.models.hamiltonian import (ConstantLindblad,
+                                        LinearHamiltonian)
 from qoc_tpu.models.policies import (
     Dummy,
     InterpolationPolicy,
@@ -27,6 +28,7 @@ from qoc_tpu.models.results import (
 )
 
 __all__ = [
+    "ConstantLindblad",
     "Cost",
     "LinearHamiltonian",
     "Dummy",

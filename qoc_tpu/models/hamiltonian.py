@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LinearHamiltonian"]
+__all__ = ["ConstantLindblad", "LinearHamiltonian"]
 
 
 class LinearHamiltonian:
@@ -77,3 +77,56 @@ class LinearHamiltonian:
         A_step = Σ_k W_k G_k with W = [1, Re c_1, Im c_1, ...] evaluated at
         the step midpoint."""
         return -1j * dt * self.hermitian_basis()
+
+    def superoperator_basis(self, dt, dissipators=None, operators=None):
+        """Magnus-M2 Lindblad-superoperator generator basis (numpy complex
+        (1+2n, d², d²)): S_step = Σ_k W_k basis_k with the same weight
+        layout, where S vec(ρ) = vec(L(ρ)) in row-major (C-order) vec
+        convention — numerically identical to
+        :func:`qoc_tpu.ops.lindblad.lindblad_superoperator` (asserted by
+        tests/test_chain.py). The constant dissipator part folds into the
+        k=0 term."""
+        d = self.h0.shape[-1]
+        eye = np.eye(d)
+
+        def s_h(x):
+            # -i (X rho - rho X) -> -i (X kron I - I kron X^T), row-major.
+            return -1j * (np.kron(x, eye) - np.kron(eye, x.T))
+
+        s0 = s_h(self.h0).astype(complex)
+        if dissipators is not None and operators is not None:
+            for g, l_op in zip(np.asarray(dissipators),
+                               np.asarray(operators)):
+                ld = np.conjugate(l_op.T)
+                p = ld @ l_op
+                s0 = s0 + g * (np.kron(l_op, np.conjugate(l_op))
+                               - 0.5 * np.kron(p, eye)
+                               - 0.5 * np.kron(eye, p.T))
+        parts = [s0]
+        for a in self.operators:
+            ah = np.conjugate(a.T)
+            parts.append(s_h(a + ah))
+            parts.append(s_h(1j * (a - ah)))
+        return dt * np.stack(parts)
+
+
+class ConstantLindblad:
+    """Time-independent Lindblad data: callable with the reference contract
+    ``(time) -> (dissipation_rates, operators)``
+    (reference lindbladdiscrete.py:76-79) that declares constancy as
+    structure — unlocking the fused chain-propagation path for
+    ``LindbladMethod.MAGNUS_EXPM`` with a ``LinearHamiltonian``.
+
+    Arguments:
+    dissipators :: numpy (n_ops,) - rates g_i.
+    operators :: numpy (n_ops, d, d) - collapse operators L_i.
+    """
+
+    def __init__(self, dissipators, operators):
+        self.dissipators = (None if dissipators is None
+                            else np.asarray(dissipators))
+        self.operators = (None if operators is None
+                          else np.asarray(operators))
+
+    def __call__(self, time):
+        return self.dissipators, self.operators

@@ -183,12 +183,24 @@ def _pallas_ok():
         return False
 
 
+def _pallas_size_ok(d):
+    """The fused kernels keep the embedded (2d, 2d) chain in VMEM; above
+    d=256 the working set exceeds the ~16 MB VMEM and the XLA path wins."""
+    return -(-d // 64) * 64 <= 256
+
+
+def _use_pallas(a):
+    impl = _EXPM_FORWARD["impl"]
+    return ((impl == "pallas" or (impl == "auto" and _pallas_ok()))
+            and _pallas_size_ok(a.shape[-1]))
+
+
 def _forward_impl(a):
     impl = _EXPM_FORWARD["impl"]
-    if impl == "pallas" or (impl == "auto" and _pallas_ok()):
+    if _use_pallas(a):
         from qoc_tpu.ops.expm_pallas import expm_taylor_pallas
         return expm_taylor_pallas(a)
-    if impl == "auto":
+    if impl in ("auto", "pallas"):
         return _expm_core(a, max_squarings=None)
     return _expm_core(a, max_squarings=None, method=impl)
 
@@ -314,13 +326,13 @@ def _expm_bwd(a, g):
     # - otherwise: the block-matrix Fréchet identity on the 2d-sized
     #   [[A^T, G], [0, A^T]] (one 2d expm, ~8x forward cost).
     impl = _EXPM_FORWARD["impl"]
-    if impl == "pallas" or (impl == "auto" and _pallas_ok()):
+    if _use_pallas(a):
         # Fully fused path: one dual-number Pallas kernel evaluates the exact
         # Fréchet adjoint L(Aᵀ, Ḡ) through scaling, Taylor, and squaring —
         # valid for any norm, ~3x the forward kernel's cost, VMEM-resident.
         from qoc_tpu.ops.expm_pallas import expm_frechet_pallas
         return (expm_frechet_pallas(jnp.swapaxes(a, -1, -2), g),)
-    method = _default_method() if impl == "auto" else impl
+    method = _default_method() if impl in ("auto", "pallas") else impl
     theta = _THETA_13 if method == "pade" else _THETA_TAYLOR
     s_max = jnp.max(_squaring_count(a, theta))
 

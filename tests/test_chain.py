@@ -159,3 +159,65 @@ def test_fused_loss_matches_generic_path(interpreted_pallas):
     assert abs(err_fused - float(err_gen)) < 1e-4
     assert np.abs(g_fused - g_gen).max() < 1e-3 * max(
         1.0, np.abs(g_gen).max())
+
+
+def test_fused_lindblad_matches_generic_path(interpreted_pallas):
+    """The fused superoperator chain inside build_lindblad_loss matches the
+    generic MAGNUS_EXPM path (value and gradient)."""
+    from qoc_tpu.core.lindblad import build_lindblad_loss
+    from qoc_tpu.models import (ConstantLindblad,
+                                GrapeLindbladDiscreteState,
+                                InterpolationPolicy, LindbladMethod,
+                                LinearHamiltonian, MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import TargetDensityInfidelity
+
+    rng = np.random.default_rng(17)
+    d, n_c, n_steps = 3, 2, 21
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    ops = 0.4 * (rng.normal(size=(n_c, d, d))
+                 + 1j * rng.normal(size=(n_c, d, d)))
+    gammas = np.array([0.05, 0.02])
+    lops = 0.3 * (rng.normal(size=(2, d, d))
+                  + 1j * rng.normal(size=(2, d, d)))
+    ham = LinearHamiltonian(h0, ops)
+    lind = ConstantLindblad(gammas, lops)
+    rho0 = np.zeros((1, d, d), dtype=complex)
+    rho0[0, 0, 0] = 1
+    target = np.zeros((1, d, d), dtype=complex)
+    target[0, -1, -1] = 1
+    costs = [TargetDensityInfidelity(target)]
+
+    def make_pstate():
+        p = GrapeLindbladDiscreteState(
+            True, n_c, n_steps, 1, costs, 2.0, ham, None,
+            np.zeros((n_steps, n_c), dtype=complex), rho0,
+            InterpolationPolicy.LINEAR, 1, lind, 0, [10.0] * n_c, 0,
+            Adam(), None, False, 0, n_steps)
+        p.method_ = LindbladMethod.MAGNUS_EXPM
+        p.magnus_policy_ = MagnusPolicy.M2
+        return p
+
+    controls = (0.2 * (rng.normal(size=(n_steps, n_c))
+                       + 1j * rng.normal(size=(n_steps, n_c)))).astype(
+                           np.complex64)
+
+    loss_generic = build_lindblad_loss(make_pstate())
+    err_gen, _ = loss_generic(jnp.asarray(controls))
+    g_gen = np.asarray(jax.grad(lambda c: loss_generic(c)[0])(
+        jnp.asarray(controls)))
+
+    try:
+        set_expm_forward("pallas")
+        loss_fused = build_lindblad_loss(make_pstate())
+        err_fused = float(loss_fused(jnp.asarray(controls))[0])
+        g_fused = np.asarray(jax.grad(lambda c: loss_fused(c)[0])(
+            jnp.asarray(controls)))
+    finally:
+        set_expm_forward("auto")
+
+    assert abs(err_fused - float(err_gen)) < 1e-4
+    assert np.abs(g_fused - g_gen).max() < 1e-3 * max(
+        1.0, np.abs(g_gen).max())

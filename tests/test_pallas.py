@@ -130,3 +130,20 @@ def test_pallas_frechet_degree_ladder_accuracy(interpreted_pallas):
                                        jnp.asarray(g)))
         rel = np.abs(got - want).max() / np.abs(want).max()
         assert rel < 5e-4, (target_norm, rel)
+
+
+def test_pallas_size_guard_falls_back_to_xla():
+    """Above d=256 the fused kernels would exceed VMEM; expm must fall back
+    to the XLA core even when the pallas impl is forced."""
+    from qoc_tpu.ops.expm import expm, set_expm_forward
+    rng = np.random.default_rng(14)
+    d = 300
+    a = (0.01 * (rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d)))
+         ).astype(np.complex64)
+    try:
+        set_expm_forward("pallas")
+        got = np.asarray(expm(jnp.asarray(a)))  # must not hit pallas_call
+    finally:
+        set_expm_forward("auto")
+    ref = sla.expm(a.astype(np.complex128))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
