@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from qoc_tpu.ops.expm import _TAYLOR_COEFFS
-from qoc_tpu.ops.expm_pallas import (_F32_LADDER, _dot, _embed,
+from qoc_tpu.ops.expm_pallas import (_F32_LADDER, _dot, _embed, _struct,
                                      _ladder_index, _scaling_count,
                                      _squarings, _taylor_by_degree,
                                      _taylor_dual_by_degree, _taylor19_m,
@@ -228,8 +228,8 @@ def _fwd_pallas(w_ord, emb, length, dp, degree):
                               memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, segments, dp, dp), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    shapes = (jax.ShapeDtypeStruct((length, segments, dp, dp), jnp.float32),
-              jax.ShapeDtypeStruct((length, segments, dp, dp), jnp.float32))
+    shapes = (_struct((length, segments, dp, dp), w_ord),
+              _struct((length, segments, dp, dp), w_ord))
     return pl.pallas_call(
         functools.partial(_chain_fwd_kernel, degree, segments),
         grid=(length,),
@@ -256,8 +256,8 @@ def _bwd_pallas(w_ord, embt, prefpad_r, prefpad_i, seed_r, seed_i,
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, segments, dp, dp), rev4,
                             memory_space=pltpu.VMEM)
-    shapes = (jax.ShapeDtypeStruct((length, segments, dp, dp), jnp.float32),
-              jax.ShapeDtypeStruct((length, segments, dp, dp), jnp.float32))
+    shapes = (_struct((length, segments, dp, dp), w_ord),
+              _struct((length, segments, dp, dp), w_ord))
     return pl.pallas_call(
         functools.partial(_chain_bwd_kernel, degree, segments),
         grid=(length,),

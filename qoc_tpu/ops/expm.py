@@ -172,6 +172,15 @@ def _pallas_ok():
     """True when the fused Pallas kernels should serve the 'auto' impl:
     a TPU backend in float32 speed mode (the kernels compute in f32; x64
     parity mode keeps the XLA path so CPU oracles see full doubles)."""
+    # A forced-CPU platform config wins over default_backend(): when both a
+    # TPU and the CPU backend are initialized in one process (the driver's
+    # virtual-device dry run), default_backend() still reports the TPU even
+    # though computation targets CPU devices.
+    import os
+    platforms = jax.config.jax_platforms or os.environ.get(
+        "JAX_PLATFORMS", "")
+    if str(platforms).split(",")[0].strip() == "cpu":
+        return False
     if jax.config.jax_enable_x64:
         return False
     if jax.default_backend() not in ("tpu", "axon"):

@@ -331,6 +331,17 @@ def _group_for(dp, dual):
     return max(1, min(_GROUP, (4 * 1024 * 1024) // per_matrix))
 
 
+def _struct(shape, like):
+    """f32 out_shape struct, propagating the input's varying-manual-axes
+    set so the kernels compose with ``shard_map(check_vma=True)`` (e.g. the
+    ensemble path: per-shard propagation on a device mesh)."""
+    vma = getattr(jax.typeof(like), "vma", None) \
+        if hasattr(jax, "typeof") else None
+    if vma:
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vma)
+    return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+
 def _split_pad(a, dp, g):
     batch_shape = a.shape[:-2]
     d = a.shape[-1]
@@ -365,8 +376,7 @@ def expm_taylor_pallas(a):
     g = _group_for(dp, dual=False)
     ar, ai, b, bp = _split_pad(a, dp, g)
     spec = _vmem_spec(dp, g)
-    shapes = (jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32),
-              jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32))
+    shapes = (_struct((bp, dp, dp), ar), _struct((bp, dp, dp), ar))
 
     def call(kernel):
         def branch(xr, xi):
@@ -411,8 +421,7 @@ def expm_frechet_pallas(b_mat, g):
     br, bi, b, bp = _split_pad(b_mat, dp, grp)
     gr, gi, _, _ = _split_pad(g, dp, grp)
     spec = _vmem_spec(dp, grp)
-    shapes = (jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32),
-              jax.ShapeDtypeStruct((bp, dp, dp), jnp.float32))
+    shapes = (_struct((bp, dp, dp), br), _struct((bp, dp, dp), br))
 
     def call(kernel):
         def branch(*refs):

@@ -147,3 +147,22 @@ def test_pallas_size_guard_falls_back_to_xla():
         set_expm_forward("auto")
     ref = sla.expm(a.astype(np.complex128))
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_pallas_platform_guard_mixed_backends(monkeypatch):
+    """_pallas_ok must respect a forced-CPU jax_platforms config even when
+    default_backend() reports an accelerator (mixed-backend processes: the
+    driver's virtual-device dry run initializes CPU after the TPU)."""
+    import importlib
+    expm_mod = importlib.import_module("qoc_tpu.ops.expm")
+    monkeypatch.setattr(expm_mod.jax, "default_backend", lambda: "axon")
+    # jax_platforms is "cpu" under the test conftest; the platform guard is
+    # checked before anything backend-derived, so this must short-circuit.
+    assert expm_mod._pallas_ok() is False
+
+
+# NOTE: pallas-inside-shard_map is validated COMPILED on the real TPU by the
+# driver entry / scratch drives (the interpret-mode HLO interpreter cannot
+# run kernels under shard_map(check_vma=True): its internal dynamic_slice
+# mixes varying and unvarying operands — a JAX limitation, not ours). The
+# _struct helper propagates the input vma so the compiled path composes.
