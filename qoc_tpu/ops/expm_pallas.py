@@ -38,6 +38,7 @@ reimplemented TPU-first; gradients replace autograd-through-the-algorithm
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -70,10 +71,35 @@ _GROUP = 8   # matrices per grid step: amortizes per-step overhead and gives
 _F32_LADDER = ((4, 0.05), (8, 0.45), (12, 1.2), (19, 3.0))
 
 
+# MXU pass count for every in-kernel dot. "highest" (6-pass bf16 = exact
+# f32, lax.Precision.HIGHEST) is the default. "bf16_3x" halves the MXU
+# passes with a manual split-multiply (Mosaic rejects Precision.HIGH, so
+# the 3-pass product x·y ≈ x_hi·y_hi + x_hi·y_lo + x_lo·y_hi is emulated
+# with single-pass bf16 dots): ~2^-16 relative error per product. Mosaic's
+# plain single-pass bf16 default (~2^-8/product) compounds visibly through
+# the Taylor/squaring chain and is never used here.
+_MXU_MODE = os.environ.get("QOC_TPU_MXU_PRECISION", "highest").lower()
+if _MXU_MODE not in ("highest", "bf16_3x"):  # pragma: no cover
+    raise ValueError(
+        f"QOC_TPU_MXU_PRECISION must be 'highest' or 'bf16_3x', "
+        f"got {_MXU_MODE!r}")
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _dot(x, y):
-    # HIGHEST precision: multi-pass bf16 on the MXU (~f32 accurate).
-    # Mosaic's default single-pass bf16 multiply loses ~3 decimal digits
-    # per matmul, which compounds through the Taylor/squaring chain.
+    if _MXU_MODE == "bf16_3x":
+        xh, xl = _split_bf16(x)
+        yh, yl = _split_bf16(y)
+
+        def d(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        return d(xh, yh) + d(xh, yl) + d(xl, yh)
     return jnp.dot(x, y, preferred_element_type=jnp.float32,
                    precision=lax.Precision.HIGHEST)
 

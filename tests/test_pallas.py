@@ -132,6 +132,47 @@ def test_pallas_frechet_degree_ladder_accuracy(interpreted_pallas):
         assert rel < 5e-4, (target_norm, rel)
 
 
+def test_pallas_bf16_3x_mode_accuracy(interpreted_pallas, monkeypatch):
+    """QOC_TPU_MXU_PRECISION=bf16_3x (3-pass split-multiply MXU dots) must
+    stay within ~2^-16/product of the exact-f32 kernels; it is the bench's
+    opt-in speed mode so its numerics are pinned here. The env var is read
+    at import; tests flip the module global and drop the jit caches."""
+    import qoc_tpu.ops.expm_pallas as ep
+    from qoc_tpu.ops.chain_pallas import (chain_expm_propagate_reference,
+                                          make_chain_expm_propagate)
+    rng = np.random.default_rng(21)
+    a = ((rng.normal(size=(3, 16, 16))
+          + 1j * rng.normal(size=(3, 16, 16))) * 0.05).astype(np.complex64)
+    n_b, d, steps = 4, 8, 24
+    basis = ((rng.normal(size=(n_b, d, d))
+              + 1j * rng.normal(size=(n_b, d, d))) * 0.02).astype(
+                  np.complex64)
+    w = rng.normal(size=(steps, n_b)).astype(np.float32)
+    monkeypatch.setattr(ep, "_MXU_MODE", "bf16_3x")
+    jax.clear_caches()
+    try:
+        got_expm = np.asarray(ep.expm_taylor_pallas(jnp.asarray(a)))
+        prop = make_chain_expm_propagate(basis)
+        got_chain, vjp = jax.vjp(prop, jnp.asarray(w))
+        gbar = jnp.ones_like(got_chain)
+        got_wbar = np.asarray(vjp(gbar)[0])
+    finally:
+        monkeypatch.setattr(ep, "_MXU_MODE", "highest")
+        jax.clear_caches()
+    for i in range(3):
+        ref = sla.expm(a[i].astype(np.complex128))
+        assert np.abs(got_expm[i] - ref).max() / np.abs(ref).max() < 2e-4
+    want_chain, vjp_ref = jax.vjp(
+        lambda ww: chain_expm_propagate_reference(ww, basis),
+        jnp.asarray(w))
+    want_wbar = np.asarray(vjp_ref(jnp.ones_like(want_chain))[0])
+    rel = np.abs(np.asarray(got_chain) - np.asarray(want_chain)).max() \
+        / np.abs(np.asarray(want_chain)).max()
+    assert rel < 1e-3, rel
+    grel = np.abs(got_wbar - want_wbar).max() / np.abs(want_wbar).max()
+    assert grel < 5e-3, grel
+
+
 def test_pallas_size_guard_falls_back_to_xla():
     """Above d=256 the fused kernels would exceed VMEM; expm must fall back
     to the XLA core even when the pallas impl is forced."""
