@@ -128,7 +128,46 @@ def _taylor4_m(m, eye):
             + _dot(m2, c[3] * m + c[4] * m2))
 
 
-def _taylor12_m(m, eye):
+# Low-product-count exact-Taylor evaluation schemes (Bader/Blanes/Casas-
+# style, arXiv:1710.10989): polynomial compositions whose expansion equals
+# the degree-m Taylor polynomial EXACTLY (so the _F32_LADDER truncation
+# thetas apply unchanged) in fewer MXU products than Paterson-Stockmeyer.
+# Coefficients solved numerically (exact to f64 roundoff) and selected for
+# minimal f32 evaluation rounding over candidate gauge orbits.
+#
+# Degree 8 in 3 products (PS needs 4):
+#   A2 = M^2;  A4 = A2 (x1 M + x2 A2)
+#   A8 = (x3 A2 + A4)(x4 I + x5 M + x6 A2 + x7 A4)
+#   T8(M) = y0 I + y1 M + y2 A2 + A8
+# Measured f32 error at theta=0.45 matches 4-dot PS (5.7e-8 vs 5.8e-8),
+# so it replaces PS in every MXU mode.
+_D8X = (-0.2791515105738877, -0.06978787764347194, 1.9965103670821102,
+        -1.0443935504465197, -0.06254782056757438, -0.024382370915357013,
+        0.005092363918911529, 1.0, 1.0, 2.585142563711936)
+
+# Degree 12 in 4 products (PS needs 5):
+#   A2 = M^2;  A3 = A2 M;  B_i = a_i0 I + a_i1 M + a_i2 A2 + a_i3 A3
+#   A6 = B3 + B4^2;  T12(M) = B1 + (B2 + A6) A6
+# Measured f32 evaluation rounding at theta=1.2 is ~8e-7 (vs 5.7e-8 for
+# 5-dot PS): far below the ~1.5e-5/product error of the bf16_3x MXU mode,
+# but above exact-f32 roundoff — so this scheme is used only when the MXU
+# mode is already the fast/approximate one, and PS keeps the "highest" path.
+_D12A = ((2.50924541e+00, 2.50145758e+00, 6.68628695e-01, 6.22278884e-02),
+         (5.58758752e+00, 1.71336946e+00, 1.60849759e-01, -1.44147961e-03),
+         (-2.84603020e-01, -2.02022795e-01, 1.89875093e-02, 1.23719677e-02),
+         (0.0, 1.31810610e-01, 2.02785554e-02, 6.75951847e-03))
+
+
+def _taylor8_m(m, eye):
+    """Degree-8 exact-Taylor evaluation in 3 MXU dots (see _D8X)."""
+    x1, x2, x3, x4, x5, x6, x7, y0, y1, y2 = _D8X
+    m2 = _dot(m, m)
+    m4 = _dot(m2, x1 * m + x2 * m2)
+    m8 = _dot(x3 * m2 + m4, x4 * eye + x5 * m + x6 * m2 + x7 * m4)
+    return y0 * eye + y1 * m + y2 * m2 + m8
+
+
+def _taylor12_ps_m(m, eye):
     """Degree-12 Paterson-Stockmeyer on the embedded real matrix (5 dots)."""
     c = _TAYLOR_COEFFS
     m2 = _dot(m, m)
@@ -143,15 +182,24 @@ def _taylor12_m(m, eye):
     return chunk(0) + _dot(m4, x1)
 
 
-def _taylor8_m(m, eye):
-    """Degree-8 Paterson-Stockmeyer on the embedded real matrix (4 dots)."""
-    c = _TAYLOR_COEFFS
+def _taylor12_fast_m(m, eye):
+    """Degree-12 exact-Taylor evaluation in 4 MXU dots (see _D12A)."""
+    a = _D12A
     m2 = _dot(m, m)
     m3 = _dot(m2, m)
-    m4 = _dot(m2, m2)
-    low = c[0] * eye + c[1] * m + c[2] * m2 + c[3] * m3
-    high = c[4] * eye + c[5] * m + c[6] * m2 + c[7] * m3 + c[8] * m4
-    return low + _dot(m4, high)
+
+    def lin(i):
+        return a[i][0] * eye + a[i][1] * m + a[i][2] * m2 + a[i][3] * m3
+
+    b4 = lin(3)
+    a6 = lin(2) + _dot(b4, b4)
+    return lin(0) + _dot(lin(1) + a6, a6)
+
+
+def _taylor12_m(m, eye):
+    if _MXU_MODE == "bf16_3x":
+        return _taylor12_fast_m(m, eye)
+    return _taylor12_ps_m(m, eye)
 
 
 def _taylor19_m(m, eye):
@@ -250,7 +298,7 @@ def _taylor4_dual(m, eye):
             c[1] * m[1] + c[2] * m2[1] + tail[1])
 
 
-def _taylor12_dual(m, eye):
+def _taylor12_ps_dual(m, eye):
     c = _TAYLOR_COEFFS
     zero = jnp.zeros_like(eye)
     m2 = _dual_dot(m, m)
@@ -271,26 +319,44 @@ def _taylor12_dual(m, eye):
     return add(chunk(0), _dual_dot(m4, x1))
 
 
-def _taylor8_dual(m, eye):
-    c = _TAYLOR_COEFFS
-    zero = jnp.zeros_like(eye)
+def _taylor12_fast_dual(m, eye):
+    """Degree-12 dual-number evaluation in 4 dual dots (see _D12A)."""
+    a = _D12A
+
+    def lin(i):
+        return (a[i][0] * eye + a[i][1] * m[0] + a[i][2] * m2[0]
+                + a[i][3] * m3[0],
+                a[i][1] * m[1] + a[i][2] * m2[1] + a[i][3] * m3[1])
+
     m2 = _dual_dot(m, m)
     m3 = _dual_dot(m2, m)
-    m4 = _dual_dot(m2, m2)
+    b4 = lin(3)
+    b3 = lin(2)
+    b4sq = _dual_dot(b4, b4)
+    a6 = (b3[0] + b4sq[0], b3[1] + b4sq[1])
+    b2 = lin(1)
+    tail = _dual_dot((b2[0] + a6[0], b2[1] + a6[1]), a6)
+    b1 = lin(0)
+    return b1[0] + tail[0], b1[1] + tail[1]
 
-    def lin(k0, *terms):
-        # c_{k0} I + sum_i c_{k0+1+i} terms[i], on dual pairs.
-        val = c[k0] * eye
-        tan = zero
-        for i, t in enumerate(terms):
-            val = val + c[k0 + 1 + i] * t[0]
-            tan = tan + c[k0 + 1 + i] * t[1]
-        return val, tan
 
-    low = lin(0, m, m2, m3)
-    high = lin(4, m, m2, m3, m4)
-    pm4 = _dual_dot(m4, high)
-    return low[0] + pm4[0], low[1] + pm4[1]
+def _taylor12_dual(m, eye):
+    if _MXU_MODE == "bf16_3x":
+        return _taylor12_fast_dual(m, eye)
+    return _taylor12_ps_dual(m, eye)
+
+
+def _taylor8_dual(m, eye):
+    """Degree-8 dual-number evaluation in 3 dual dots (see _D8X)."""
+    x1, x2, x3, x4, x5, x6, x7, y0, y1, y2 = _D8X
+    m2 = _dual_dot(m, m)
+    m4 = _dual_dot(m2, (x1 * m[0] + x2 * m2[0], x1 * m[1] + x2 * m2[1]))
+    left = (x3 * m2[0] + m4[0], x3 * m2[1] + m4[1])
+    right = (x4 * eye + x5 * m[0] + x6 * m2[0] + x7 * m4[0],
+             x5 * m[1] + x6 * m2[1] + x7 * m4[1])
+    m8 = _dual_dot(left, right)
+    return (y0 * eye + y1 * m[0] + y2 * m2[0] + m8[0],
+            y1 * m[1] + y2 * m2[1] + m8[1])
 
 
 def _taylor19_dual(m, eye):
