@@ -26,6 +26,25 @@ Reference-parity semantics preserved exactly:
   reference's post-conjugation convention, schroedingerdiscrete.py:320-324),
   which falls out automatically from differentiating w.r.t. the stripped
   real parameters.
+
+Beyond the reference (SURVEY.md §5 mandates):
+- GRAPE intermediate-state/density recording: on save iterations a separate
+  forward-only collection dispatch recomputes the trajectory at the logged
+  (clipped) controls and writes the H5 ``intermediate_*`` row — the main
+  loss keeps its fastest (fused-kernel) form. Parity anchor:
+  /root/reference/qoc/models/schroedingermodels.py:320-344 written from
+  inside the hot loop; here it costs one extra propagation per *save*
+  iteration only.
+- Checkpoint/resume: optimizer state (params + moments + step count) is
+  snapshotted into the save file at chunk boundaries (fused path) / save
+  iterations (host path); ``resume_state`` (set by the drivers from a
+  ``resume_from=`` save file) restores it and continues the iteration
+  numbering, reproducing the uninterrupted run's trajectory exactly for
+  on-device optimizers (Adam/SGD). The reference's resume is manual and
+  loses Adam moments (schroedingerdiscrete.py:164-168).
+- Observability: a ``RateMeter`` tracks iterations/s (reported as
+  ``result.iterations_per_s``) and jax profiler trace spans wrap each
+  optimization chunk.
 """
 
 import numpy as np
@@ -43,13 +62,22 @@ from qoc_tpu.core.common import (
     strip_controls,
     strip_controls_jax,
 )
+from qoc_tpu.profiler import RateMeter, trace_annotation
 
 __all__ = ["run_grape"]
 
 _DEFAULT_CHUNK = 200
 
+# Keys in the save file's optimizer_state group that are not optimizer
+# pytree leaves.
+_RESUME_PARAMS = "__params__"
+_RESUME_ITERATION = "__iteration__"
+_HOST_PREFIX = "host_"
+_OPT_PREFIX = "opt"
 
-def run_grape(pstate, result, loss_flat, evolved_key, result_fields):
+
+def run_grape(pstate, result, loss_flat, evolved_key, result_fields,
+              collect_fn=None, intermediate_saver=None):
     """Run the optimization described by ``pstate``.
 
     Arguments:
@@ -60,28 +88,53 @@ def run_grape(pstate, result, loss_flat, evolved_key, result_fields):
     evolved_key - "final_states" | "final_densities" (H5 dataset name).
     result_fields - (controls_field, error_field, evolved_field, iter_field)
         attribute names on ``result``.
+    collect_fn - optional traced fn: flat real clipped params -> the
+        (system_eval_count, ...) intermediate state/density stack; dispatched
+        only on save iterations.
+    intermediate_saver - callable (iteration, stack) writing the stack to the
+        save file (pstate.save_intermediate_states / _densities).
     """
     optimizer = pstate.optimizer
     fused_ok = (getattr(optimizer, "supports_fused", False)
                 and pstate.impose_control_conditions is None)
     if fused_ok:
-        _run_fused(pstate, result, loss_flat, evolved_key, result_fields)
+        _run_fused(pstate, result, loss_flat, evolved_key, result_fields,
+                   collect_fn, intermediate_saver)
     else:
-        _run_host(pstate, result, loss_flat, evolved_key, result_fields)
+        _run_host(pstate, result, loss_flat, evolved_key, result_fields,
+                  collect_fn, intermediate_saver)
+
+
+def _resume_start(pstate):
+    """Iteration index to start at (0 for fresh runs)."""
+    resume_state = getattr(pstate, "resume_state", None)
+    if resume_state is None or _RESUME_ITERATION not in resume_state:
+        return 0, resume_state
+    return int(np.asarray(resume_state[_RESUME_ITERATION])), resume_state
+
+
+def _snapshot_optimizer(pstate, snap):
+    if pstate.should_save and pstate.checkpointer is not None:
+        pstate.checkpointer.save_optimizer_state(snap)
 
 
 # ---------------------------------------------------------------------------
 # Host-loop path (L-BFGS-B / user projection hooks)
 # ---------------------------------------------------------------------------
 
-def _run_host(pstate, result, loss_flat, evolved_key, result_fields):
+def _run_host(pstate, result, loss_flat, evolved_key, result_fields,
+              collect_fn=None, intermediate_saver=None):
     cc = pstate.complex_controls
     shape = pstate.controls_shape
     mcn = np.asarray(pstate.max_control_norms)
+    optimizer = pstate.optimizer
     vg = jax.jit(jax.value_and_grad(loss_flat, has_aux=True))
     controls_field, error_field, evolved_field, iter_field = result_fields
+    iteration_start, resume_state = _resume_start(pstate)
+    meter = RateMeter().start()
 
-    state = {"iteration": 0, "cache_key": None, "cache_val": None}
+    state = {"iteration": iteration_start, "cache_key": None,
+             "cache_val": None}
 
     def prepare(params):
         controls = slap_controls(cc, np.asarray(params), shape)
@@ -119,28 +172,53 @@ def _run_host(pstate, result, loss_flat, evolved_key, result_fields):
     def jacobian_wrap(params):
         controls, error, final_evolved, grads_flat = evaluate(params)
         grads_cost_format = slap_controls(cc, grads_flat, shape)
+        iteration = state["iteration"]
         if error < getattr(result, error_field):
             setattr(result, controls_field, controls)
             setattr(result, error_field, error)
             setattr(result, evolved_field, final_evolved)
-            setattr(result, iter_field, state["iteration"])
+            setattr(result, iter_field, iteration)
         pstate.log_and_save(controls, error, final_evolved,
-                            grads_cost_format, state["iteration"],
-                            evolved_key)
-        state["iteration"] += 1
+                            grads_cost_format, iteration, evolved_key)
+        if _is_save_iteration(pstate, iteration):
+            if collect_fn is not None and intermediate_saver is not None:
+                clipped_flat = strip_controls(cc, controls)
+                stack = device_get(collect_fn(jnp.asarray(clipped_flat)))
+                intermediate_saver(iteration, np.asarray(stack))
+            snap = {_RESUME_PARAMS: np.asarray(params),
+                    _RESUME_ITERATION: np.asarray(iteration)}
+            if hasattr(optimizer, "state_dict"):
+                for key, value in optimizer.state_dict().items():
+                    if value is not None:
+                        snap[_HOST_PREFIX + key] = np.asarray(value)
+            _snapshot_optimizer(pstate, snap)
+        state["iteration"] = iteration + 1
+        meter.tick()
         return grads_flat, error <= pstate.min_error
 
-    x0 = strip_controls(cc, np.asarray(pstate.initial_controls))
-    pstate.optimizer.run(function_wrap, pstate.iteration_count, x0,
-                         jacobian_wrap)
-    result.iteration_count_ran = state["iteration"]
+    if resume_state is not None and _RESUME_PARAMS in resume_state:
+        x0 = np.asarray(resume_state[_RESUME_PARAMS])
+        host_state = {key[len(_HOST_PREFIX):]: value
+                      for key, value in resume_state.items()
+                      if key.startswith(_HOST_PREFIX)}
+        if host_state and hasattr(optimizer, "load_state_dict"):
+            optimizer.load_state_dict(host_state)
+            optimizer._warm_start = True
+    else:
+        x0 = strip_controls(cc, np.asarray(pstate.initial_controls))
+    iterations = max(0, pstate.iteration_count - iteration_start)
+    with trace_annotation("qoc_tpu.grape.host_loop"):
+        optimizer.run(function_wrap, iterations, x0, jacobian_wrap)
+    result.iteration_count_ran = state["iteration"] - iteration_start
+    result.iterations_per_s = meter.mean_rate
 
 
 # ---------------------------------------------------------------------------
 # Fused on-device path (Adam / SGD)
 # ---------------------------------------------------------------------------
 
-def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
+def _run_fused(pstate, result, loss_flat, evolved_key, result_fields,
+               collect_fn=None, intermediate_saver=None):
     cc = pstate.complex_controls
     shape = pstate.controls_shape
     mcn = np.asarray(pstate.max_control_norms)
@@ -149,6 +227,8 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
     collect_rows = pstate.should_save
     controls_field, error_field, evolved_field, iter_field = result_fields
     rdt = real_dtype()
+    iteration_start, resume_state = _resume_start(pstate)
+    meter = RateMeter().start()
 
     vg = jax.value_and_grad(loss_flat, has_aux=True)
 
@@ -178,10 +258,14 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
         }
         terminate = error <= min_error
         new_done = done | terminate
+        # Termination skips the update: the iteration whose evaluation hits
+        # min_error leaves params/opt_state at their evaluated values
+        # (reference adam.py:104-106 breaks before update()).
         params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(done, old, new), new_params, params)
+            lambda new, old: jnp.where(new_done, old, new), new_params,
+            params)
         opt_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(done, old, new), new_opt_state,
+            lambda new, old: jnp.where(new_done, old, new), new_opt_state,
             opt_state)
         # Row leaves are all real floats: the axon backend cannot stack or
         # transfer bool/complex reliably, so `valid` travels as f32 and the
@@ -244,7 +328,7 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
     probe_shape = jax.eval_shape(loss_flat, jnp.zeros(x0.shape, dtype=rdt))[1]
 
     @jax.jit
-    def make_initial_carry(params_):
+    def make_initial_carry(params_, start_f):
         opt_state_ = optimizer.init_state(params_)
         best_ = {
             "error": jnp.asarray(np.finfo(np.dtype(rdt).name).max,
@@ -253,21 +337,38 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
             "final_evolved": jnp.zeros(probe_shape.shape,
                                        dtype=probe_shape.dtype),
             "iteration": jnp.zeros((), dtype=jnp.int32),
-            "count": jnp.zeros((), dtype=jnp.int32),
+            "count": start_f.astype(jnp.int32),
         }
         return opt_state_, jnp.zeros((), dtype=jnp.bool_), best_
 
+    if resume_state is not None and _RESUME_PARAMS in resume_state:
+        x0 = np.asarray(resume_state[_RESUME_PARAMS])
     params = jnp.asarray(x0.astype(np.dtype(rdt).name))
-    opt_state, done, best = make_initial_carry(params)
+    opt_state, done, best = make_initial_carry(
+        params, jnp.asarray(float(iteration_start), dtype=rdt))
+    opt_state = _restore_opt_state(opt_state, resume_state, rdt)
+
+    def opt_snapshot(carry_params, carry_opt_state, next_iteration):
+        """Host dict for save_optimizer_state: params + opt-state leaves +
+        the next iteration index (all real; int leaves pulled via
+        device_get's float casts — axon-safe)."""
+        snap = {_RESUME_PARAMS: np.asarray(device_get(carry_params)),
+                _RESUME_ITERATION: np.asarray(next_iteration)}
+        flat, _ = jax.tree_util.tree_flatten_with_path(carry_opt_state)
+        for path, leaf in flat:
+            key = _OPT_PREFIX + jax.tree_util.keystr(path)
+            snap[key] = np.asarray(device_get(leaf))
+        return snap
 
     chunk = int(getattr(pstate, "fused_chunk", 0) or _DEFAULT_CHUNK)
-    iterations_left = pstate.iteration_count
-    global_iter = 0
+    iterations_left = max(0, pstate.iteration_count - iteration_start)
+    global_iter = iteration_start
     all_errors = []
     carry = (params, opt_state, done, best)
     while iterations_left > 0:
         length = min(chunk, iterations_left)
-        carry, rows = run_chunk(carry, length)
+        with trace_annotation("qoc_tpu.grape.chunk"):
+            carry, rows = run_chunk(carry, length)
         _, _, done, best = carry
         rows = device_get(rows)
         if collect_rows:
@@ -277,6 +378,8 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
         else:
             errors, gnorms, valids = rows
         n_valid = int(np.sum(valids > 0.5))
+        if n_valid:
+            meter.tick(n_valid)
         all_errors.append(np.asarray(errors)[:n_valid])
         for j in range(n_valid):
             iteration = global_iter + j
@@ -289,8 +392,15 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
                 pstate.checkpointer.save_grape_iteration(
                     int(save_step), controls_cf, float(errors[j]),
                     evolved_rows[j], grads_cf, evolved_key)
+                if collect_fn is not None and intermediate_saver is not None:
+                    stack = device_get(
+                        collect_fn(jnp.asarray(controls_rows[j])))
+                    intermediate_saver(iteration, np.asarray(stack))
         global_iter += n_valid
         iterations_left -= length
+        if pstate.should_save:
+            _snapshot_optimizer(
+                pstate, opt_snapshot(carry[0], carry[1], global_iter))
         if bool(device_get(done)):
             break
 
@@ -300,9 +410,38 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields):
     setattr(result, error_field, float(best["error"]))
     setattr(result, evolved_field, np.asarray(best["final_evolved"]))
     setattr(result, iter_field, int(best["iteration"]))
-    result.iteration_count_ran = global_iter
+    result.iteration_count_ran = global_iter - iteration_start
+    result.iterations_per_s = meter.mean_rate
     result.errors = (np.concatenate(all_errors)
                      if all_errors else np.zeros((0,)))
+
+
+def _restore_opt_state(opt_state, resume_state, rdt):
+    """Overwrite opt-state leaves from a checkpoint dict.
+
+    All leaves cross host->device as the real dtype and are cast to the
+    template dtypes inside a jit (the axon backend rejects direct int/bool
+    transfers). Missing keys leave the fresh state (controls-only resume).
+    """
+    if resume_state is None:
+        return opt_state
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    if not flat:
+        return opt_state
+    keys = [_OPT_PREFIX + jax.tree_util.keystr(path) for path, _ in flat]
+    if not all(key in resume_state for key in keys):
+        return opt_state
+    dtypes = [leaf.dtype for _, leaf in flat]
+    hosts = [jnp.asarray(np.asarray(resume_state[key], dtype=np.float64)
+                         .astype(np.dtype(rdt).name)) for key in keys]
+
+    @jax.jit
+    def cast(*float_leaves):
+        return jax.tree_util.tree_unflatten(
+            treedef, [leaf.astype(dtype)
+                      for leaf, dtype in zip(float_leaves, dtypes)])
+
+    return cast(*hosts)
 
 
 def _is_save_iteration(pstate, iteration):

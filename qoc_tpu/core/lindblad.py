@@ -27,6 +27,7 @@ from qoc_tpu.config import (as_complex, device_get, np_complex_dtype,
 from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.graperunner import run_grape
 from qoc_tpu.core.schroedinger import _check_interpolation, _magnus_fn
+from qoc_tpu.io.resume import apply_resume
 from qoc_tpu.models import (
     ConstantLindblad,
     EvolveLindbladDiscreteState,
@@ -365,7 +366,8 @@ def grape_lindblad_discrete(control_count, control_eval_count, costs,
                             interpolation_policy=InterpolationPolicy.LINEAR,
                             iteration_count=1000, lindblad_data=None,
                             log_iteration_step=10, max_control_norms=None,
-                            min_error=0, optimizer=None, save_file_path=None,
+                            min_error=0, optimizer=None, resume_from=None,
+                            save_file_path=None,
                             save_intermediate_densities=False,
                             save_iteration_step=0,
                             method=LindbladMethod.RKDP5, atol=1e-12,
@@ -401,6 +403,8 @@ def grape_lindblad_discrete(control_count, control_eval_count, costs,
         pstate.fused_chunk = fused_chunk
     if fused_mode is not None:
         pstate.fused_mode = fused_mode
+    if resume_from is not None:
+        apply_resume(pstate, resume_from)
     pstate.log_and_save_initial()
     result = GrapeLindbladResult()
 
@@ -412,7 +416,17 @@ def grape_lindblad_discrete(control_count, control_eval_count, costs,
         controls = slap_controls_jax(cc, flat_params, shape)
         return loss_controls(controls)
 
+    collect_fn = intermediate_saver = None
+    if pstate.save_intermediate_densities_:
+        collect_loss = build_lindblad_loss(
+            pstate, collect_intermediates=True, differentiable=False,
+            remat=False)
+        collect_fn = jax.jit(
+            lambda flat: collect_loss(slap_controls_jax(cc, flat, shape))[2])
+        intermediate_saver = pstate.save_intermediate_densities
+
     run_grape(pstate, result, loss_flat, "final_densities",
               ("best_controls", "best_error", "best_final_densities",
-               "best_iteration"))
+               "best_iteration"),
+              collect_fn=collect_fn, intermediate_saver=intermediate_saver)
     return result

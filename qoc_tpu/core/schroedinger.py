@@ -23,6 +23,7 @@ from qoc_tpu.config import (MATMUL_PRECISION, as_complex, device_get,
                             np_complex_dtype, real_dtype)
 from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.graperunner import run_grape
+from qoc_tpu.io.resume import apply_resume
 from qoc_tpu.models import (
     EvolveSchroedingerDiscreteState,
     EvolveSchroedingerResult,
@@ -238,8 +239,9 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
         states0 = initial_states
         error0 = jnp.asarray(0.0, dtype=rdt)
         if pvary_axes:
-            states0 = lax.pvary(jnp.asarray(states0), pvary_axes)
-            error0 = lax.pvary(error0, pvary_axes)
+            states0 = lax.pcast(jnp.asarray(states0), pvary_axes,
+                                to="varying")
+            error0 = lax.pcast(error0, pvary_axes, to="varying")
         carry = (jnp.asarray(states0), error0)
         (states, error), intermediates = lax.scan(body_fn, carry, xs)
         for cost in costs:
@@ -315,7 +317,8 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
                                 iteration_count=1000, log_iteration_step=10,
                                 magnus_policy=MagnusPolicy.M2,
                                 max_control_norms=None, min_error=0,
-                                optimizer=None, save_file_path=None,
+                                optimizer=None, resume_from=None,
+                                save_file_path=None,
                                 save_intermediate_states=False,
                                 save_iteration_step=0,
                                 time_block_size=None, fused_chunk=None,
@@ -327,7 +330,14 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
       reference's mutable ``Adam()`` default argument is shared across calls),
     - the Adam/SGD path runs as a fused on-device ``lax.scan`` when
       ``impose_control_conditions`` is None (see core/graperunner.py); results
-      and logs are identical to the per-iteration host loop.
+      and logs are identical to the per-iteration host loop,
+    - ``resume_from`` (qoc_tpu extension) names a previous run's save file:
+      the checkpointed params + optimizer moments + iteration index are
+      restored and the optimization continues where it stopped — exactly
+      reproducing the uninterrupted trajectory for Adam/SGD. When
+      ``resume_from == save_file_path`` the existing file's remaining rows
+      are filled in place. The reference's resume is manual and drops Adam
+      moments (schroedingerdiscrete.py:164-168).
 
     Returns a ``GrapeSchroedingerResult`` with the best-seen controls/error/
     final states/iteration.
@@ -349,6 +359,8 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
         pstate.fused_chunk = fused_chunk
     if fused_mode is not None:
         pstate.fused_mode = fused_mode
+    if resume_from is not None:
+        apply_resume(pstate, resume_from)
     pstate.log_and_save_initial()
     result = GrapeSchroedingerResult()
 
@@ -361,7 +373,17 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
         controls = slap_controls_jax(cc, flat_params, shape)
         return loss_controls(controls)
 
+    collect_fn = intermediate_saver = None
+    if pstate.save_intermediate_states_:
+        collect_loss = build_schroedinger_loss(
+            pstate, collect_intermediates=True, remat=False,
+            time_block_size=time_block_size)
+        collect_fn = jax.jit(
+            lambda flat: collect_loss(slap_controls_jax(cc, flat, shape))[2])
+        intermediate_saver = pstate.save_intermediate_states
+
     run_grape(pstate, result, loss_flat, "final_states",
               ("best_controls", "best_error", "best_final_states",
-               "best_iteration"))
+               "best_iteration"),
+              collect_fn=collect_fn, intermediate_saver=intermediate_saver)
     return result

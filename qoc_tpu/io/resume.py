@@ -3,15 +3,19 @@
 The reference's resume story is manual — re-open the H5, pick a row, feed it
 back as ``initial_controls`` (schroedingerdiscrete.py:164-168) — and Adam
 moments are lost. These helpers package that workflow and pair with
-``H5Checkpointer.save_optimizer_state`` / ``Adam.load_state_dict``.
+``H5Checkpointer.save_optimizer_state`` / ``Adam.load_state_dict``; the
+``resume_from=`` kwarg on the ``grape_*`` drivers routes through
+:func:`apply_resume`.
 """
+
+import os
 
 import numpy as np
 
 import h5py
 from filelock import FileLock, Timeout
 
-__all__ = ["load_controls", "load_best_controls"]
+__all__ = ["apply_resume", "load_controls", "load_best_controls"]
 
 _LOCK_TIMEOUT_S = 10
 
@@ -32,6 +36,34 @@ def load_controls(save_file_path, save_index=-1):
     indices count from the end as usual). Returns (controls, error)."""
     data = _read(save_file_path, ("controls", "error"))
     return data["controls"][save_index], float(data["error"][save_index])
+
+
+def apply_resume(pstate, resume_from):
+    """Configure ``pstate`` to continue a previous run.
+
+    Loads the optimizer-state checkpoint (params + moments + next iteration
+    index, written by core/graperunner.py on save cadences) into
+    ``pstate.resume_state``; if the file has no checkpoint (e.g. it predates
+    optimizer-state saving, or ``save_iteration_step`` was 0), falls back to
+    the reference-style manual resume — the lowest-error saved controls
+    become the initial controls and the optimizer starts fresh.
+
+    When the resumed run saves into the *same* file, the preallocated H5
+    schema is kept and its remaining rows are filled in place
+    (``pstate.resuming_same_file``).
+    """
+    from qoc_tpu.io.h5 import H5Checkpointer
+
+    resume_state = H5Checkpointer(resume_from).load_optimizer_state()
+    if resume_state is not None:
+        pstate.resume_state = resume_state
+    else:
+        controls, _, _ = load_best_controls(resume_from)
+        pstate.initial_controls = controls
+    if (pstate.save_file_path is not None
+            and os.path.abspath(resume_from)
+            == os.path.abspath(pstate.save_file_path)):
+        pstate.resuming_same_file = True
 
 
 def load_best_controls(save_file_path):

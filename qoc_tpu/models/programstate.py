@@ -97,7 +97,10 @@ class GrapeState(ProgramState):
         if self.should_save:
             print("QOC is saving this optimization run to {}."
                   "".format(self.save_file_path))
-            self.checkpointer.create_grape_file(self, self._save_count())
+            # Resuming into the same file: keep the preallocated schema and
+            # fill its remaining rows in place (io/resume.py:apply_resume).
+            if not getattr(self, "resuming_same_file", False):
+                self.checkpointer.create_grape_file(self, self._save_count())
         if self.should_log:
             print("iter   |   total error  |    grads_l2   \n"
                   "=========================================")

@@ -31,9 +31,11 @@ class GrapeSchroedingerResult:
         self.best_error = best_error
         self.best_final_states = best_final_states
         self.best_iteration = best_iteration
-        # qoc_tpu extensions (not in the reference): full iteration history.
+        # qoc_tpu extensions (not in the reference): full iteration history
+        # and the measured optimization rate (SURVEY.md §5 observability).
         self.iteration_count_ran = 0
         self.errors = None  # ndarray (iterations,) of per-iteration error
+        self.iterations_per_s = 0.0
 
 
 class EvolveLindbladResult:
@@ -53,3 +55,4 @@ class GrapeLindbladResult:
         self.best_iteration = best_iteration
         self.iteration_count_ran = 0
         self.errors = None
+        self.iterations_per_s = 0.0

@@ -54,10 +54,18 @@ class Adam:
 
     def run(self, function, iteration_count, initial_params, jacobian,
             args=()):
-        """Minimize ``function``; ``jacobian`` returns (grads, terminate)."""
-        self.iteration_count = 0
-        self.gradient_moment = np.zeros_like(initial_params)
-        self.gradient_square_moment = np.zeros_like(initial_params)
+        """Minimize ``function``; ``jacobian`` returns (grads, terminate).
+
+        When ``self._warm_start`` is set (by the resume machinery after
+        ``load_state_dict``), the moments/step count carried over from the
+        checkpoint are kept instead of being re-zeroed; the flag is consumed.
+        """
+        if getattr(self, "_warm_start", False):
+            self._warm_start = False
+        else:
+            self.iteration_count = 0
+            self.gradient_moment = np.zeros_like(initial_params)
+            self.gradient_square_moment = np.zeros_like(initial_params)
         params = initial_params
         for _ in range(iteration_count):
             grads, terminate = jacobian(params, *args)

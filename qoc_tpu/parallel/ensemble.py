@@ -16,8 +16,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from qoc_tpu.config import np_complex_dtype, np_real_dtype
 from qoc_tpu.core.common import initialize_controls, slap_controls_jax
