@@ -1,16 +1,30 @@
-"""qoc_tpu headline benchmark.
+"""qoc_tpu benchmark suite.
 
-Workload: the reference's published backprop benchmark config (BASELINE.md /
-report/report/report.tex:107-111, Table 3): d = 2^6 Hilbert space, 10
-controls, 10^4 time steps, one target-state infidelity — one full GRAPE
-iteration = loss + exact gradient (+ Adam update), here as a single jitted
-fused device step (Magnus-M2 + Padé-13 expm scan with remat adjoint).
+Headline workload (the driver-recorded metric): the reference's published
+backprop benchmark config (BASELINE.md / report/report/report.tex:107-111,
+Table 3): d = 2^6 Hilbert space, 10 controls, 10^4 time steps, one
+target-state infidelity — one full GRAPE iteration = loss + exact gradient
+(+ Adam update), as a single jitted fused device step (fused Pallas chain
+propagation). Baseline: 55.46 s per iteration (autograd+numpy, i7-6700K,
+report.tex:111); vs_baseline is the speedup of qoc_tpu iterations/s over
+1/55.46 it/s.
 
-Baseline: the reference's autograd+numpy backprop takes 55.46 s per
-iteration on the published i7-6700K CPU (report.tex:111). vs_baseline is the
-speedup of qoc_tpu GRAPE iterations/s over that baseline's 1/55.46 it/s.
+The ``extra`` field carries the rest of the BASELINE table (VERDICT r1 #3):
+- ``backprop_d1024_s``: Table 1 (report.tex:53-62) — single-step infidelity
+  backprop at d = 2^10, 10 controls (H = H0 + sum c_i H_i, U = expm(-iH dt),
+  one state, infidelity, d/dc). Baseline 9.452 s; ``x`` = speedup. This is
+  ABOVE the Pallas kernels' d<=256 embedding limit, so it measures the XLA
+  Taylor fallback path.
+- ``lindblad_magnus_it_s`` / ``lindblad_rkdp5_it_s``: GRAPE iteration rate
+  on the example-1 workload (d=2 transmon with T1 dissipation,
+  BASELINE.md workload 2) under both integrators. No CPU baseline was
+  published for these; raw rates are recorded.
+- ``multistart_cand_iter_s``: candidate-iterations/s for 512 simultaneous
+  pulse candidates (d=2^6, 10 controls, 201 steps) on one chip through
+  ``grape_schroedinger_multistart`` — the BASELINE.json "thousands of pulse
+  candidates" axis.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -34,7 +48,8 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BASELINE_SECONDS_PER_ITERATION = 55.46  # report.tex:111 (autograd, 1 CPU)
+BASELINE_TABLE3_S = 55.46   # report.tex:111 (autograd, 1 CPU, 10^4 steps)
+BASELINE_TABLE1_S = 9.452   # report.tex:62  (autograd, 1 CPU, d=2^10)
 
 D = 64                # 2^6 Hilbert dimension
 CONTROL_COUNT = 10
@@ -45,10 +60,14 @@ WARMUP_ITERATIONS = 2
 TIMED_ITERATIONS = 5
 
 
-def build_step():
-    from qoc_tpu.core.common import initialize_controls, strip_controls, \
-        slap_controls_jax
-    from qoc_tpu.core.schroedinger import build_schroedinger_loss
+def _random_hermitian(rng, d):
+    h = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    return ((h + h.conj().T) / 2).astype(np.complex64)
+
+
+def _bench_problem(d, control_count, control_eval_count, system_eval_count,
+                   evolution_time, iteration_count=TIMED_ITERATIONS):
+    from qoc_tpu.core.common import initialize_controls
     from qoc_tpu.models import (GrapeSchroedingerDiscreteState,
                                 InterpolationPolicy, LinearHamiltonian,
                                 MagnusPolicy)
@@ -56,33 +75,30 @@ def build_step():
     from qoc_tpu.standard import TargetStateInfidelity
 
     rng = np.random.default_rng(0)
-
-    def random_hermitian(d):
-        h = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
-        return (h + h.conj().T) / 2
-
-    # Host-numpy complex64 constants: embedded at trace time (the axon TPU
-    # backend cannot round-trip complex device arrays at trace constants).
-    h0 = random_hermitian(D).astype(np.complex64)
+    h0 = _random_hermitian(rng, d)
     control_ops = np.stack(
-        [random_hermitian(D) for _ in range(CONTROL_COUNT)]).astype(
-            np.complex64)
-
+        [_random_hermitian(rng, d) for _ in range(control_count)])
     # Declaring the linear control structure H = h0 + sum c_i A_i + h.c.
-    # unlocks the fused Pallas chain-propagation path; the math is identical
-    # to the equivalent callable (tests/test_chain.py asserts so).
+    # unlocks the fused Pallas chain-propagation path (d <= 256); above the
+    # embedding limit the loss runs the batched XLA Taylor expm.
     hamiltonian = LinearHamiltonian(h0, control_ops)
-
-    initial = np.zeros((1, D, 1)); initial[0, 0] = 1
-    target = np.zeros((1, D, 1)); target[0, -1] = 1
+    initial = np.zeros((1, d, 1)); initial[0, 0] = 1
+    target = np.zeros((1, d, 1)); target[0, -1] = 1
     costs = [TargetStateInfidelity(target)]
     initial_controls, max_norms = initialize_controls(
-        True, CONTROL_COUNT, CONTROL_EVAL_COUNT, EVOLUTION_TIME, None, None)
+        True, control_count, control_eval_count, evolution_time, None, None)
     pstate = GrapeSchroedingerDiscreteState(
-        True, CONTROL_COUNT, CONTROL_EVAL_COUNT, 1, costs, EVOLUTION_TIME,
+        True, control_count, control_eval_count, 1, costs, evolution_time,
         hamiltonian, None, initial_controls, initial,
-        InterpolationPolicy.LINEAR, TIMED_ITERATIONS, 0, max_norms,
-        MagnusPolicy.M2, 0, Adam(), None, False, 0, SYSTEM_EVAL_COUNT)
+        InterpolationPolicy.LINEAR, iteration_count, 0, max_norms,
+        MagnusPolicy.M2, 0, Adam(), None, False, 0, system_eval_count)
+    return pstate, hamiltonian, initial, costs, initial_controls, max_norms
+
+
+def _train_step(pstate):
+    from qoc_tpu.core.common import slap_controls_jax, strip_controls
+    from qoc_tpu.core.schroedinger import build_schroedinger_loss
+    from qoc_tpu.optim import Adam
 
     loss_controls = build_schroedinger_loss(pstate)
     shape = pstate.controls_shape
@@ -100,32 +116,172 @@ def build_step():
         opt_state, params = optimizer.update_jax(opt_state, grads, params)
         return params, opt_state, error
 
-    params = jnp.asarray(strip_controls(True, initial_controls))
+    params = jnp.asarray(strip_controls(True, pstate.initial_controls))
     opt_state = optimizer.init_state(params)
     return train_step, params, opt_state
 
 
-def main():
-    train_step, params, opt_state = build_step()
+def bench_headline():
+    """Table-3 config GRAPE iteration rate (fused Pallas chain path)."""
+    pstate, *_ = _bench_problem(D, CONTROL_COUNT, CONTROL_EVAL_COUNT,
+                                SYSTEM_EVAL_COUNT, EVOLUTION_TIME)
+    train_step, params, opt_state = _train_step(pstate)
     for _ in range(WARMUP_ITERATIONS):
         params, opt_state, error = train_step(params, opt_state)
     # Sync via a scalar pull: on the axon TPU tunnel, block_until_ready
     # returns without blocking; transferring the (real) error does not.
     float(error)
-
     start = time.perf_counter()
     for _ in range(TIMED_ITERATIONS):
         params, opt_state, error = train_step(params, opt_state)
     float(error)
     elapsed = time.perf_counter() - start
+    return TIMED_ITERATIONS / elapsed
 
-    iterations_per_second = TIMED_ITERATIONS / elapsed
-    vs_baseline = iterations_per_second * BASELINE_SECONDS_PER_ITERATION
+
+def bench_d1024_backprop():
+    """Table-1 config: single-step infidelity backprop at d = 2^10
+    (XLA Taylor expm path; characterizes the d > 256 Pallas fallback)."""
+    pstate, *_ = _bench_problem(1024, 10, 2, 2, 0.05)
+    train_step, params, opt_state = _train_step(pstate)
+    for _ in range(2):
+        params, opt_state, error = train_step(params, opt_state)
+    float(error)
+    start = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        params, opt_state, error = train_step(params, opt_state)
+    float(error)
+    return (time.perf_counter() - start) / n
+
+
+def _lindblad_step(method, atol=1e-8, rkdp5_max_steps=256):
+    from qoc_tpu.core.common import initialize_controls, slap_controls_jax, \
+        strip_controls
+    from qoc_tpu.core.lindblad import build_lindblad_loss
+    from qoc_tpu.models import (ConstantLindblad, GrapeLindbladDiscreteState,
+                                InterpolationPolicy, LindbladMethod,
+                                LinearHamiltonian, MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.standard import (TargetDensityInfidelity,
+                                  get_annihilation_operator)
+
+    # Example-1 workload: d=2 transmon, T1 = 1000 ns, 11 control steps
+    # (/root/reference/examples/1_transmon_pi_dechoerence.py:21-60).
+    h0 = (np.asarray([[1, 0], [0, -1]]) / 2).astype(np.complex64)
+    a = get_annihilation_operator(2).astype(np.complex64)
+    hamiltonian = LinearHamiltonian(h0, np.stack((a,)))
+    t1 = 1000.0
+    lindblad_data = ConstantLindblad(np.array([1.0 / t1]),
+                                     np.stack((a,)).astype(np.complex64))
+    ini = np.array([[[1.0, 0.0], [0.0, 0.0]]], dtype=complex)
+    tgt = np.array([[[0.0, 0.0], [0.0, 1.0]]], dtype=complex)
+    costs = [TargetDensityInfidelity(tgt)]
+    system_eval_count = (21 if method == LindbladMethod.MAGNUS_EXPM else 2)
+    ic, mn = initialize_controls(True, 1, 11, 10.0, None, None)
+    pstate = GrapeLindbladDiscreteState(
+        True, 1, 11, 1, costs, 10.0, hamiltonian, None, ic, ini,
+        InterpolationPolicy.LINEAR, TIMED_ITERATIONS, lindblad_data, 0, mn,
+        0, Adam(), None, False, 0, system_eval_count)
+    pstate.method_ = method
+    pstate.atol = atol
+    pstate.rtol = 0.0
+    pstate.rkdp5_max_steps = rkdp5_max_steps
+    pstate.magnus_policy_ = MagnusPolicy.M2
+    loss = build_lindblad_loss(pstate)
+    shape = pstate.controls_shape
+
+    def loss_flat(flat):
+        return loss(slap_controls_jax(True, flat, shape))
+
+    optimizer = Adam()
+
+    @jax.jit
+    def step(params, opt_state):
+        (error, _), grads = jax.value_and_grad(loss_flat,
+                                               has_aux=True)(params)
+        opt_state, params = optimizer.update_jax(opt_state, grads, params)
+        return params, opt_state, error
+
+    params = jnp.asarray(strip_controls(True, ic))
+    return step, params, optimizer.init_state(params)
+
+
+def bench_lindblad(method):
+    step, params, opt_state = _lindblad_step(method)
+    for _ in range(2):
+        params, opt_state, error = step(params, opt_state)
+    float(error)
+    start = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        params, opt_state, error = step(params, opt_state)
+    float(error)
+    return n / (time.perf_counter() - start)
+
+
+def bench_multistart(n_starts=512):
+    """Candidate-iterations/s: n_starts simultaneous candidates on the
+    bench-class problem (shorter time mesh so one chip holds the batch)."""
+    from qoc_tpu.parallel import grape_schroedinger_multistart
+    from qoc_tpu.optim import Adam
+
+    _, hamiltonian, initial, costs, _, _ = _bench_problem(
+        D, CONTROL_COUNT, 201, 201, 2.0)
+    iters = 3
+    result = grape_schroedinger_multistart(
+        CONTROL_COUNT, 201, costs, 2.0, hamiltonian, initial, 201,
+        n_starts=n_starts, complex_controls=True, iteration_count=iters + 1,
+        log_iteration_step=0, optimizer=Adam(), fused_chunk=1)
+    # First chunk includes compile; measure with the meter excluded by
+    # rerunning the timed window manually instead.
+    start = time.perf_counter()
+    result = grape_schroedinger_multistart(
+        CONTROL_COUNT, 201, costs, 2.0, hamiltonian, initial, 201,
+        n_starts=n_starts, complex_controls=True, iteration_count=iters,
+        log_iteration_step=0, optimizer=Adam(), fused_chunk=iters)
+    elapsed = time.perf_counter() - start
+    return n_starts * iters / elapsed, float(np.min(result.errors))
+
+
+def main():
+    extra = {}
+
+    headline_rate = bench_headline()
+
+    try:
+        t1024 = bench_d1024_backprop()
+        extra["backprop_d1024_s"] = round(t1024, 4)
+        extra["backprop_d1024_x"] = round(BASELINE_TABLE1_S / t1024, 1)
+    except Exception as exc:  # pragma: no cover - report, don't die
+        extra["backprop_d1024_error"] = repr(exc)[:200]
+
+    from qoc_tpu.models import LindbladMethod
+    try:
+        extra["lindblad_magnus_it_s"] = round(
+            bench_lindblad(LindbladMethod.MAGNUS_EXPM), 2)
+    except Exception as exc:  # pragma: no cover
+        extra["lindblad_magnus_error"] = repr(exc)[:200]
+    try:
+        extra["lindblad_rkdp5_it_s"] = round(
+            bench_lindblad(LindbladMethod.RKDP5), 2)
+    except Exception as exc:  # pragma: no cover
+        extra["lindblad_rkdp5_error"] = repr(exc)[:200]
+
+    try:
+        rate, best = bench_multistart()
+        extra["multistart_cand_iter_s"] = round(rate, 1)
+        extra["multistart_n_starts"] = 512
+    except Exception as exc:  # pragma: no cover
+        extra["multistart_error"] = repr(exc)[:200]
+
+    vs_baseline = headline_rate * BASELINE_TABLE3_S
     print(json.dumps({
         "metric": "grape_iterations_per_s_d64_c10_t10k",
-        "value": round(iterations_per_second, 4),
+        "value": round(headline_rate, 4),
         "unit": "iterations/s",
         "vs_baseline": round(vs_baseline, 2),
+        "extra": extra,
     }))
 
 

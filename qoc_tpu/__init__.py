@@ -16,7 +16,8 @@ from qoc_tpu.core import (
     grape_schroedinger_discrete,
     grape_unitary,
 )
-from qoc_tpu.models import ConstantLindblad, LinearHamiltonian
+from qoc_tpu.models import (ConstantLindblad, EnsembleLinearHamiltonian,
+                            LinearHamiltonian)
 
 __version__ = "0.1.0"
 
@@ -27,5 +28,6 @@ __all__ = [
     "grape_schroedinger_discrete",
     "grape_unitary",
     "LinearHamiltonian",
+    "EnsembleLinearHamiltonian",
     "ConstantLindblad",
 ]

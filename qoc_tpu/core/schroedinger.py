@@ -61,7 +61,8 @@ def _check_interpolation(interpolation_policy):
 
 def build_schroedinger_loss(pstate, collect_intermediates=False,
                             remat="auto", hamiltonian_override=None,
-                            pvary_axes=None, time_block_size=None):
+                            pvary_axes=None, time_block_size=None,
+                            state_mesh=None):
     """Build the jitted-to-be loss: controls (complex (E, C) or None) ->
     (error, final_states[, intermediate_states]).
 
@@ -83,6 +84,13 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
     block (None = auto-sized to ~64 MB of propagator buffer). Within a block
     all Magnus terms and expms are computed batched and composed by a
     log-depth associative scan; only blocks are sequential.
+
+    ``state_mesh`` shards the (independent) state-batch axis K over the
+    first axis of the given ``jax.sharding.Mesh`` via a sharding constraint
+    — psum-free data parallelism for large-K gate synthesis (K = d unitary
+    columns); XLA keeps the propagators replicated and the ``U @ states``
+    contraction local, inserting the final cost reduction itself
+    (SURVEY.md §2.4 row 1).
     """
     _check_interpolation(pstate.interpolation_policy)
     rdt = real_dtype()
@@ -106,6 +114,16 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
 
     n_steps = system_eval_count - 1
     d = initial_states.shape[-2]
+    state_sharding = None
+    if state_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_state_shards = state_mesh.devices.size
+        if initial_states.shape[0] % n_state_shards != 0:
+            raise ValueError(
+                "state count {} must be divisible by the state mesh size {}"
+                "".format(initial_states.shape[0], n_state_shards))
+        state_sharding = NamedSharding(
+            state_mesh, PartitionSpec(state_mesh.axis_names[0]))
     if remat == "auto":
         # Rematerialize blocks only when storing the backward residuals
         # (~10 propagator-sized buffers per step) would not fit comfortably
@@ -238,6 +256,9 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
         xs = (ks.reshape(n_blocks, block), valid.reshape(n_blocks, block))
         states0 = initial_states
         error0 = jnp.asarray(0.0, dtype=rdt)
+        if state_sharding is not None:
+            states0 = jax.lax.with_sharding_constraint(
+                jnp.asarray(states0), state_sharding)
         if pvary_axes:
             states0 = lax.pcast(jnp.asarray(states0), pvary_axes,
                                 to="varying")
@@ -268,7 +289,7 @@ def evolve_schroedinger_discrete(evolution_time, hamiltonian, initial_states,
                                  magnus_policy=MagnusPolicy.M2,
                                  save_file_path=None,
                                  save_intermediate_states=False,
-                                 time_block_size=None):
+                                 time_block_size=None, mesh=None):
     """Evolve state vectors under the Schrödinger equation and compute the
     total cost.
 
@@ -291,7 +312,8 @@ def evolve_schroedinger_discrete(evolution_time, hamiltonian, initial_states,
     collect = save_intermediate_states
     loss = build_schroedinger_loss(pstate, collect_intermediates=collect,
                                    remat=False,
-                                   time_block_size=time_block_size)
+                                   time_block_size=time_block_size,
+                                   state_mesh=mesh)
     loss = jax.jit(loss)
     if controls is not None:
         controls = np.asarray(controls).astype(np_complex_dtype())
@@ -322,7 +344,7 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
                                 save_intermediate_states=False,
                                 save_iteration_step=0,
                                 time_block_size=None, fused_chunk=None,
-                                fused_mode=None):
+                                fused_mode=None, mesh=None):
     """Optimize time-discrete controls for Schrödinger evolution (GRAPE).
 
     API parity: reference schroedingerdiscrete.py:106-252. Differences:
@@ -337,7 +359,10 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
       reproducing the uninterrupted trajectory for Adam/SGD. When
       ``resume_from == save_file_path`` the existing file's remaining rows
       are filled in place. The reference's resume is manual and drops Adam
-      moments (schroedingerdiscrete.py:164-168).
+      moments (schroedingerdiscrete.py:164-168),
+    - ``mesh`` (qoc_tpu extension) shards the independent state-batch axis K
+      over the given device mesh's first axis (psum-free data parallelism
+      for large-K gate synthesis; see ``build_schroedinger_loss``).
 
     Returns a ``GrapeSchroedingerResult`` with the best-seen controls/error/
     final states/iteration.
@@ -365,7 +390,8 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
     result = GrapeSchroedingerResult()
 
     loss_controls = build_schroedinger_loss(pstate,
-                                            time_block_size=time_block_size)
+                                            time_block_size=time_block_size,
+                                            state_mesh=mesh)
     cc = complex_controls
     shape = pstate.controls_shape
 
@@ -377,7 +403,7 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
     if pstate.save_intermediate_states_:
         collect_loss = build_schroedinger_loss(
             pstate, collect_intermediates=True, remat=False,
-            time_block_size=time_block_size)
+            time_block_size=time_block_size, state_mesh=mesh)
         collect_fn = jax.jit(
             lambda flat: collect_loss(slap_controls_jax(cc, flat, shape))[2])
         intermediate_saver = pstate.save_intermediate_states

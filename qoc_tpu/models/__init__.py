@@ -2,6 +2,7 @@
 
 from qoc_tpu.models.cost import Cost
 from qoc_tpu.models.hamiltonian import (ConstantLindblad,
+                                        EnsembleLinearHamiltonian,
                                         LinearHamiltonian)
 from qoc_tpu.models.policies import (
     Dummy,
@@ -29,6 +30,7 @@ from qoc_tpu.models.results import (
 
 __all__ = [
     "ConstantLindblad",
+    "EnsembleLinearHamiltonian",
     "Cost",
     "LinearHamiltonian",
     "Dummy",

@@ -19,7 +19,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ConstantLindblad", "LinearHamiltonian"]
+__all__ = ["ConstantLindblad", "EnsembleLinearHamiltonian",
+           "LinearHamiltonian"]
 
 
 class LinearHamiltonian:
@@ -108,6 +109,68 @@ class LinearHamiltonian:
             parts.append(s_h(a + ah))
             parts.append(s_h(1j * (a - ah)))
         return dt * np.stack(parts)
+
+
+class EnsembleLinearHamiltonian(LinearHamiltonian):
+    """Affine ensemble of linear Hamiltonians (robust-GRAPE structure):
+
+        H_m(c, t) = h0 + Σ_p δ_mp · param_operators[p]
+                       + Σᵢ cᵢ operatorsᵢ + conj(cᵢ) operatorsᵢ^H
+
+    where δ_m is member m's REAL parameter row (detuning, amplitude
+    miscalibration, ...). ``param_operators`` must be Hermitian (they enter
+    with real coefficients). The common case "(1+δ)·H0" is
+    ``param_operators=[h0]``.
+
+    Declaring this structure lets ``grape_schroedinger_ensemble`` run every
+    member through the fused Pallas chain-propagation kernel
+    (ops/chain_pallas.py) — the member parameters become extra constant
+    weight columns of the shared generator basis, so all members share one
+    kernel and one Taylor-degree dispatch. The instance is also callable
+    with the generic ensemble contract ``(params_row, controls, time)`` so
+    every non-fused code path works unchanged.
+    """
+
+    def __init__(self, h0, operators, param_operators):
+        super().__init__(h0, operators)
+        self.param_operators = np.asarray(param_operators)
+        if self.param_operators.ndim != 3:
+            raise ValueError("param_operators must have shape "
+                             "(param_count, d, d); got {}."
+                             .format(self.param_operators.shape))
+        if self.param_operators.shape[1:] != self.h0.shape:
+            raise ValueError("param_operators {} and h0 {} dimension "
+                             "mismatch.".format(self.param_operators.shape,
+                                                self.h0.shape))
+        herm_err = np.abs(self.param_operators
+                          - np.conjugate(np.swapaxes(self.param_operators,
+                                                     -1, -2))).max()
+        if herm_err > 1e-8:
+            raise ValueError("param_operators must be Hermitian (they carry "
+                             "real ensemble coefficients); max |P - P^H| = "
+                             "{}.".format(herm_err))
+
+    @property
+    def param_count(self):
+        return self.param_operators.shape[0]
+
+    def __call__(self, params_row, controls, time):
+        from qoc_tpu.config import as_complex
+        h = LinearHamiltonian.__call__(self, controls, time)
+        pops = jnp.asarray(as_complex(self.param_operators))
+        return h + jnp.einsum("p,pab->ab", as_complex(params_row), pops)
+
+    def member(self, params_row):
+        """Plain ``(controls, time) -> H`` callable for one member (the
+        generic, non-fused path)."""
+        return lambda controls, time: self(params_row, controls, time)
+
+    def hermitian_basis(self):
+        """[h0, param_ops..., P_1, Q_1, ...] so that H_m = W_m · basis with
+        W_m = [1, δ_m1..δ_mP, Re c_1, Im c_1, ...]."""
+        base = LinearHamiltonian.hermitian_basis(self)
+        return np.concatenate((base[:1], self.param_operators, base[1:]),
+                              axis=0)
 
 
 class ConstantLindblad:

@@ -54,9 +54,10 @@ from jax import lax
 
 from qoc_tpu.ops.expm import _TAYLOR_COEFFS
 from qoc_tpu.ops import expm_pallas as _ep
-from qoc_tpu.ops.expm_pallas import (_F32_LADDER, _dot, _embed, _struct,
-                                     _ladder_index, _scaling_count,
-                                     _squarings, _taylor_by_degree,
+from qoc_tpu.ops.expm_pallas import (_F32_LADDER, _dot, _embed,
+                                     _ladder_index, _pallas_call,
+                                     _scaling_count, _squarings, _struct,
+                                     _taylor_by_degree,
                                      _taylor_dual_by_degree, _taylor19_m,
                                      _taylor19_dual)
 
@@ -72,6 +73,19 @@ __all__ = ["make_chain_expm_propagate", "chain_expm_propagate",
 
 _ALIGN = 64
 _SEGMENTS = 8
+
+
+def _match_vma(x, like):
+    """Promote ``x`` to carry the varying-manual-axes of ``like`` so constant
+    kernel inputs (the embedded basis stacks, identity rows) compose with
+    varying operands inside ``shard_map(check_vma=True)`` — e.g. the fused
+    ensemble path where the weights vary over the mesh."""
+    want = getattr(jax.typeof(like), "vma", None) or frozenset()
+    have = getattr(jax.typeof(x), "vma", None) or frozenset()
+    missing = tuple(sorted(want - have))
+    if missing:
+        x = lax.pcast(x, missing, to="varying")
+    return x
 
 
 def _dotT(x, y):
@@ -133,8 +147,13 @@ def _expm_embedded_dual(m, eye2, degree):
 
 def _chain_fwd_kernel(degree, segments, w_ref, basis_ref,
                       pref_r_ref, pref_i_ref, acc_ref):
-    """One grid step = one time step of all S segment chains."""
-    t = pl.program_id(0)
+    """One grid step = one time step of all S segment chains of one member.
+
+    Grid is (members, steps); the trailing (minor) grid axis walks the time
+    steps of one member chain before advancing to the next member, so the
+    running-product scratch resets at t == 0 of every member.
+    """
+    t = pl.program_id(1)
     dp = pref_r_ref.shape[-1]
     eye2 = jnp.eye(2 * dp, dtype=jnp.float32)
 
@@ -143,31 +162,32 @@ def _chain_fwd_kernel(degree, segments, w_ref, basis_ref,
         for s in range(segments):
             acc_ref[s] = eye2
 
-    m_all = _build_m(w_ref[0], basis_ref)
+    m_all = _build_m(w_ref[0, 0], basis_ref)
     for s in range(segments):
         u = _expm_embedded(m_all[s], eye2, degree)
         p = _dot(u, acc_ref[s])
         acc_ref[s] = p
-        pref_r_ref[0, s] = p[:dp, :dp]
-        pref_i_ref[0, s] = p[dp:, :dp]
+        pref_r_ref[0, 0, s] = p[:dp, :dp]
+        pref_i_ref[0, 0, s] = p[dp:, :dp]
 
 
 def _chain_bwd_kernel(degree, segments, w_ref, basist_ref,
                       prefpad_r_ref, prefpad_i_ref, seed_r_ref, seed_i_ref,
                       abar_r_ref, abar_i_ref, t_ref, uh_ref):
     """Reversed grid step: advance the conjugated adjoint recursion of all
-    S segments. Block index maps present step t = L-1-i blocks."""
-    i = pl.program_id(0)
+    S segments of one member. Block index maps present step t = L-1-i
+    blocks; the member axis is the major grid dimension."""
+    i = pl.program_id(1)
     dp = abar_r_ref.shape[-1]
     eye2 = jnp.eye(2 * dp, dtype=jnp.float32)
 
     # E(A^H) for every segment, from the transposed basis stack.
-    mh_all = _build_m(w_ref[0], basist_ref)
+    mh_all = _build_m(w_ref[0, 0], basist_ref)
 
     for s in range(segments):
         # T_t: seed at the last step, else E(U_{t+1}^H) T_{t+1}.
         def seed():
-            return _embed(seed_r_ref[s], seed_i_ref[s])
+            return _embed(seed_r_ref[0, s], seed_i_ref[0, s])
 
         def recur():
             return _dot(uh_ref[s], t_ref[s])
@@ -175,12 +195,12 @@ def _chain_bwd_kernel(degree, segments, w_ref, basist_ref,
         t_cur = lax.cond(i == 0, seed, recur)
         t_ref[s] = t_cur
         # E(conj Ū_t) = T_t E(P_{t-1})ᵀ (prefpad block IS P_{t-1}).
-        pm1 = _embed(prefpad_r_ref[0, s], prefpad_i_ref[0, s])
+        pm1 = _embed(prefpad_r_ref[0, 0, s], prefpad_i_ref[0, 0, s])
         cu = _dotT(t_cur, pm1)
         uh, cabar = _expm_embedded_dual((mh_all[s], cu), eye2, degree)
         uh_ref[s] = uh
-        abar_r_ref[0, s] = cabar[:dp, :dp]
-        abar_i_ref[0, s] = cabar[dp:, :dp]
+        abar_r_ref[0, 0, s] = cabar[:dp, :dp]
+        abar_i_ref[0, 0, s] = cabar[dp:, :dp]
 
 
 # ---------------------------------------------------------------------------
@@ -206,14 +226,16 @@ def _basis_stacks(basis):
 
 
 def _reorder(w, segments):
-    """(B, n_b) row-major -> (L, S, n_b): segment s owns steps
-    [s*L, (s+1)*L); grid step t presents row t of every segment."""
-    b, n_b = w.shape
+    """(M, B, n_b) row-major -> (M, L, S, n_b): segment s of member m owns
+    steps [s*L, (s+1)*L); grid step (m, t) presents row t of every
+    segment of member m."""
+    m, b, n_b = w.shape
     length = -(-b // segments)
     bp = length * segments
     if bp != b:
-        w = jnp.pad(w, ((0, bp - b), (0, 0)))  # zero weights -> U = I
-    return jnp.swapaxes(w.reshape(segments, length, n_b), 0, 1), length, bp
+        w = jnp.pad(w, ((0, 0), (0, bp - b), (0, 0)))  # zero -> U = I
+    return (jnp.swapaxes(w.reshape(m, segments, length, n_b), 1, 2),
+            length, bp)
 
 
 def _exact_norm_max(w, basis):
@@ -221,8 +243,11 @@ def _exact_norm_max(w, basis):
     einsum + reductions; a triangle-inequality bound was measured to
     overestimate by enough to cost a whole degree level of the f32 Taylor
     ladder). The inf-norm is the 1-norm of A^H — the backward kernel's
-    dispatch quantity."""
-    a = jnp.abs(jnp.einsum("jk,kab->jab", w.astype(jnp.float32),
+    dispatch quantity. Maxes are taken over all members and steps (one
+    shared Taylor degree for the whole batch)."""
+    n_b = w.shape[-1]
+    a = jnp.abs(jnp.einsum("jk,kab->jab",
+                           w.reshape(-1, n_b).astype(jnp.float32),
                            jnp.asarray(basis).astype(jnp.complex64)))
     n1 = jnp.max(jnp.sum(a, axis=-2)).astype(jnp.float32)
     ninf = jnp.max(jnp.sum(a, axis=-1)).astype(jnp.float32)
@@ -231,18 +256,20 @@ def _exact_norm_max(w, basis):
 
 def _fwd_pallas(w_ord, emb, length, dp, degree):
     segments = _SEGMENTS
-    n_b = w_ord.shape[-1]
-    w_spec = pl.BlockSpec((1, segments, n_b), lambda i: (i, 0, 0),
+    n_members, _, _, n_b = w_ord.shape
+    w_spec = pl.BlockSpec((1, 1, segments, n_b), lambda m, t: (m, t, 0, 0),
                           memory_space=pltpu.VMEM)
-    basis_spec = pl.BlockSpec((n_b, 2 * dp, 2 * dp), lambda i: (0, 0, 0),
+    basis_spec = pl.BlockSpec((n_b, 2 * dp, 2 * dp),
+                              lambda m, t: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, segments, dp, dp), lambda i: (i, 0, 0, 0),
+    out_spec = pl.BlockSpec((1, 1, segments, dp, dp),
+                            lambda m, t: (m, t, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    shapes = (_struct((length, segments, dp, dp), w_ord),
-              _struct((length, segments, dp, dp), w_ord))
-    return pl.pallas_call(
+    shapes = (_struct((n_members, length, segments, dp, dp), w_ord),
+              _struct((n_members, length, segments, dp, dp), w_ord))
+    return _pallas_call(
         functools.partial(_chain_fwd_kernel, degree, segments),
-        grid=(length,),
+        grid=(n_members, length),
         in_specs=[w_spec, basis_spec],
         out_specs=(out_spec, out_spec),
         out_shape=shapes,
@@ -253,24 +280,26 @@ def _fwd_pallas(w_ord, emb, length, dp, degree):
 def _bwd_pallas(w_ord, embt, prefpad_r, prefpad_i, seed_r, seed_i,
                 length, dp, degree):
     segments = _SEGMENTS
-    n_b = w_ord.shape[-1]
-    rev = lambda i: (length - 1 - i, 0, 0)
-    rev4 = lambda i: (length - 1 - i, 0, 0, 0)
-    w_spec = pl.BlockSpec((1, segments, n_b), rev, memory_space=pltpu.VMEM)
-    basis_spec = pl.BlockSpec((n_b, 2 * dp, 2 * dp), lambda i: (0, 0, 0),
+    n_members, _, _, n_b = w_ord.shape
+    rev = lambda m, i: (m, length - 1 - i, 0, 0)
+    rev5 = lambda m, i: (m, length - 1 - i, 0, 0, 0)
+    w_spec = pl.BlockSpec((1, 1, segments, n_b), rev,
+                          memory_space=pltpu.VMEM)
+    basis_spec = pl.BlockSpec((n_b, 2 * dp, 2 * dp),
+                              lambda m, i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
     # prefpad[t] = P_{t-1} (identity row prepended by the caller).
-    pref_spec = pl.BlockSpec((1, segments, dp, dp), rev4,
+    pref_spec = pl.BlockSpec((1, 1, segments, dp, dp), rev5,
                              memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec((segments, dp, dp), lambda i: (0, 0, 0),
+    seed_spec = pl.BlockSpec((1, segments, dp, dp), lambda m, i: (m, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, segments, dp, dp), rev4,
+    out_spec = pl.BlockSpec((1, 1, segments, dp, dp), rev5,
                             memory_space=pltpu.VMEM)
-    shapes = (_struct((length, segments, dp, dp), w_ord),
-              _struct((length, segments, dp, dp), w_ord))
-    return pl.pallas_call(
+    shapes = (_struct((n_members, length, segments, dp, dp), w_ord),
+              _struct((n_members, length, segments, dp, dp), w_ord))
+    return _pallas_call(
         functools.partial(_chain_bwd_kernel, degree, segments),
-        grid=(length,),
+        grid=(n_members, length),
         in_specs=[w_spec, basis_spec, pref_spec, pref_spec, seed_spec,
                   seed_spec],
         out_specs=(out_spec, out_spec),
@@ -295,8 +324,11 @@ def make_chain_expm_propagate(basis):
     G (closed over — embedded at trace time; pass Magnus/dt factors folded
     in). The returned function maps real ``w`` (B, n_b) to the complex
     (d, d) total ordered product, with an exact custom VJP to ``w``.
-    Requires max_j ||A_j||_1 <= 1 (no squaring; the GRAPE Magnus-M2 regime
-    — callers guard with :func:`chain_fused_ok` + a norm bound).
+    Batched form (the ensemble path): ``w`` (M, B, n_b) runs M independent
+    member chains in one kernel (member = major grid axis) and returns
+    (M, d, d). Requires max_j ||A_j||_1 <= 1 (no squaring; the GRAPE
+    Magnus-M2 regime — callers guard with :func:`chain_fused_ok` + a norm
+    bound).
     """
     basis = np.asarray(basis)
 
@@ -321,56 +353,69 @@ def chain_expm_propagate(w, basis):
 
 def _chain_fwd(w, basis):
     emb, embt, d, dp = _basis_stacks(basis)
-    w_ord, length, bp = _reorder(w.astype(jnp.float32), _SEGMENTS)
-    norm_max, norm_inf_max = _exact_norm_max(w, basis)
+    batched = w.ndim == 3
+    w3 = w if batched else w[None]
+    w_ord, length, bp = _reorder(w3.astype(jnp.float32), _SEGMENTS)
+    emb = _match_vma(emb, w_ord)
+    norm_max, norm_inf_max = _exact_norm_max(w3, basis)
     pref_r, pref_i = _degree_switch(
         norm_max,
         lambda deg: (lambda wo, e: _fwd_pallas(wo, e, length, dp, deg)),
         w_ord, emb)
-    # Segment products -> total product (S-1 small matmuls).
-    prods = (pref_r[-1, :, :d, :d] + 1j * pref_i[-1, :, :d, :d])
-    total = prods[0]
+    # Per-member segment products -> total products (S-1 batched matmuls).
+    prods = (pref_r[:, -1, :, :d, :d]
+             + 1j * pref_i[:, -1, :, :d, :d])       # (M, S, d, d)
+    total = prods[:, 0]
     for s in range(1, _SEGMENTS):
-        total = prods[s] @ total
-    return total, (w_ord, pref_r, pref_i, prods, norm_inf_max, w.shape[0],
-                length, d, dp)
+        total = prods[:, s] @ total
+    if not batched:
+        total = total[0]
+    return total, (w_ord, pref_r, pref_i, prods, norm_inf_max,
+                   w3.shape[-2], batched, length, d, dp)
 
 
 def _chain_bwd_vjp(basis, res, gbar):
-    (w_ord, pref_r, pref_i, prods, norm_inf_max, b_orig, length, d,
+    (w_ord, pref_r, pref_i, prods, norm_inf_max, b_orig, batched, length, d,
      dp) = res
     emb, embt, _, _ = _basis_stacks(basis)
+    embt = _match_vma(embt, w_ord)
     segments = _SEGMENTS
+    n_members = prods.shape[0]
 
-    # Segment cotangents of P_total = prods[S-1] ... prods[0]:
+    # Per-member segment cotangents of P_total = prods[S-1] ... prods[0]:
     # p̄_s = (suffix_{s+1})ᵀ Ḡ (prefix_{s-1})ᵀ, via running partials.
     gbar = gbar.astype(prods.dtype)
-    prefix = jnp.eye(d, dtype=prods.dtype)      # prods[s-1] ... prods[0]
+    if not batched:
+        gbar = gbar[None]
+    eye = _match_vma(jnp.broadcast_to(jnp.eye(d, dtype=prods.dtype),
+                                      (n_members, d, d)), prods)
+    prefix = eye                                # prods[s-1] ... prods[0]
     suffix = [None] * segments                  # prods[S-1] ... prods[s+1]
-    acc = jnp.eye(d, dtype=prods.dtype)
+    acc = eye
     for s in range(segments - 1, -1, -1):
         suffix[s] = acc
-        acc = acc @ prods[s]
+        acc = acc @ prods[:, s]
     seeds = []
     for s in range(segments):
         pbar_s = jnp.swapaxes(suffix[s], -1, -2) @ gbar \
             @ jnp.swapaxes(prefix, -1, -2)
-        prefix = prods[s] @ prefix
+        prefix = prods[:, s] @ prefix
         seeds.append(jnp.conjugate(pbar_s))     # T seeds = conj(p̄_s)
-    seeds = jnp.stack(seeds)
+    seeds = jnp.stack(seeds, axis=1)            # (M, S, d, d)
     seed_r = jnp.real(seeds).astype(jnp.float32)
     seed_i = jnp.imag(seeds).astype(jnp.float32)
     if dp != d:
-        pad = ((0, 0), (0, dp - d), (0, dp - d))
+        pad = ((0, 0), (0, 0), (0, dp - d), (0, dp - d))
         seed_r = jnp.pad(seed_r, pad)
         seed_i = jnp.pad(seed_i, pad)
 
     # prefpad[t] = P_{t-1}: identity row prepended, last prefix dropped.
-    eye_row = jnp.broadcast_to(
-        jnp.eye(dp, dtype=jnp.float32), (1, segments, dp, dp))
-    prefpad_r = jnp.concatenate((eye_row, pref_r[:-1]), axis=0)
+    eye_row = _match_vma(jnp.broadcast_to(
+        jnp.eye(dp, dtype=jnp.float32), (n_members, 1, segments, dp, dp)),
+        pref_r)
+    prefpad_r = jnp.concatenate((eye_row, pref_r[:, :-1]), axis=1)
     zero_row = jnp.zeros_like(eye_row)
-    prefpad_i = jnp.concatenate((zero_row, pref_i[:-1]), axis=0)
+    prefpad_i = jnp.concatenate((zero_row, pref_i[:, :-1]), axis=1)
 
     cabar_r, cabar_i = _degree_switch(
         norm_inf_max,
@@ -388,12 +433,15 @@ def _chain_bwd_vjp(basis, res, gbar):
     if dp != d:
         cabar_r = cabar_r[..., :d, :d]
         cabar_i = cabar_i[..., :d, :d]
-    wbar_ord = (jnp.einsum("lsab,kab->lsk", cabar_r, gk_r)
-                + jnp.einsum("lsab,kab->lsk", cabar_i, gk_i))
+    wbar_ord = (jnp.einsum("mlsab,kab->mlsk", cabar_r, gk_r)
+                + jnp.einsum("mlsab,kab->mlsk", cabar_i, gk_i))
     # Undo the segment reorder and padding.
     n_b = wbar_ord.shape[-1]
-    wbar = jnp.swapaxes(wbar_ord, 0, 1).reshape(segments * length, n_b)
-    return (wbar[:b_orig],)
+    wbar = jnp.swapaxes(wbar_ord, 1, 2).reshape(
+        n_members, segments * length, n_b)[:, :b_orig]
+    if not batched:
+        wbar = wbar[0]
+    return (wbar,)
 
 
 def chain_expm_propagate_reference(w, basis):

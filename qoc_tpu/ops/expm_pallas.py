@@ -58,6 +58,16 @@ except ImportError:  # pragma: no cover
 
 __all__ = ["expm_taylor_pallas", "expm_frechet_pallas"]
 
+
+def _pallas_call(*args, **kwargs):
+    """pl.pallas_call, forced into interpret mode by
+    QOC_TPU_PALLAS_INTERPRET=1 (checked per call): lets CPU processes — the
+    driver's virtual-device multichip dry run, debugging sessions — execute
+    the fused kernels without TPU hardware."""
+    if os.environ.get("QOC_TPU_PALLAS_INTERPRET", "0") == "1":
+        kwargs.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kwargs)
+
 _ALIGN = 64  # pad d so the embedded 2d is a multiple of the 128 MXU lanes
 _GROUP = 8   # matrices per grid step: amortizes per-step overhead and gives
              # the MXU independent dot chains to interleave (ILP)
@@ -472,7 +482,7 @@ def expm_taylor_pallas(a):
 
     def call(kernel):
         def branch(xr, xi):
-            return pl.pallas_call(
+            return _pallas_call(
                 kernel,
                 grid=(bp // g,),
                 in_specs=[spec, spec],
@@ -517,7 +527,7 @@ def expm_frechet_pallas(b_mat, g):
 
     def call(kernel):
         def branch(*refs):
-            return pl.pallas_call(
+            return _pallas_call(
                 kernel,
                 grid=(bp // grp,),
                 in_specs=[spec, spec, spec, spec],

@@ -19,16 +19,19 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from qoc_tpu.config import np_complex_dtype, np_real_dtype
+from qoc_tpu.config import (MATMUL_PRECISION, np_complex_dtype,
+                            np_real_dtype, real_dtype)
 from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.graperunner import run_grape
 from qoc_tpu.core.schroedinger import build_schroedinger_loss
 from qoc_tpu.models import (
+    EnsembleLinearHamiltonian,
     GrapeSchroedingerDiscreteState,
     GrapeSchroedingerResult,
     InterpolationPolicy,
     MagnusPolicy,
 )
+from qoc_tpu.ops.interpolate import interpolate_linear_set
 from qoc_tpu.optim import Adam
 from qoc_tpu.parallel.sharding import ENSEMBLE_AXIS, make_mesh
 
@@ -36,13 +39,21 @@ __all__ = ["grape_schroedinger_ensemble", "build_ensemble_loss"]
 
 
 def build_ensemble_loss(pstate, hamiltonian, hamiltonian_params, mesh,
-                        axis_name=ENSEMBLE_AXIS):
+                        axis_name=ENSEMBLE_AXIS, check_vma=True):
     """Build the psum-reduced ensemble loss.
 
     ``hamiltonian(params_row, controls_t, time) -> (d, d)`` defines one
     member's Hamiltonian. The loss is ``mean_m error_m`` with the member axis
     sharded over ``mesh``; the returned aux is the per-member final states
     stacked along the (sharded) ensemble axis.
+
+    When ``hamiltonian`` is an :class:`EnsembleLinearHamiltonian` (affine
+    member dependence) and the problem is in the fused regime (Magnus M2, no
+    step costs, Pallas available), every member shard propagates through the
+    fused chain-propagation kernel (ops/chain_pallas.py) with the member
+    parameters as extra constant weight columns — the fastest path; the
+    returned loss has ``uses_fused_chain=True``. Otherwise each member rolls
+    out the generic magnus+expm loss under ``vmap``.
     """
     hamiltonian_params = np.asarray(hamiltonian_params)
     hamiltonian_params = hamiltonian_params.astype(
@@ -55,11 +66,17 @@ def build_ensemble_loss(pstate, hamiltonian, hamiltonian_params, mesh,
             "ensemble member count {} must be divisible by the mesh axis "
             "size {}".format(n_members, n_shards))
 
+    fused = _build_fused_ensemble_loss(pstate, hamiltonian,
+                                       hamiltonian_params, mesh, axis_name,
+                                       n_members, n_shards, check_vma)
+    if fused is not None:
+        return fused
+
     def member_loss(controls, params_row):
         override = lambda c, t: hamiltonian(params_row, c, t)
-        loss = build_schroedinger_loss(pstate,
-                                       hamiltonian_override=override,
-                                       pvary_axes=(axis_name,))
+        loss = build_schroedinger_loss(
+            pstate, hamiltonian_override=override,
+            pvary_axes=(axis_name,) if check_vma else None)
         return loss(controls)
 
     def shard_fn(controls, params_shard):
@@ -70,11 +87,139 @@ def build_ensemble_loss(pstate, hamiltonian, hamiltonian_params, mesh,
 
     sharded = shard_map(shard_fn, mesh=mesh,
                         in_specs=(P(), P(axis_name)),
-                        out_specs=(P(), P(axis_name)))
+                        out_specs=(P(), P(axis_name)), check_vma=check_vma)
 
     def loss(controls):
         return sharded(controls, hamiltonian_params)
 
+    loss.uses_fused_chain = False
+    return loss
+
+
+def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
+                               n_members, n_shards, check_vma=True):
+    """Fused-kernel ensemble loss, or None when the problem is outside the
+    fused regime.
+
+    Member chains run in ONE Pallas dispatch per time block per shard: the
+    chain kernel's major grid axis walks the shard's members
+    (ops/chain_pallas.py), the shared generator basis is
+    [h0, param_ops..., P_i, Q_i] and member m's weight rows are
+    [1, δ_m, Re c, Im c] — only the δ columns differ across members, so the
+    Taylor-degree dispatch and VMEM basis stack are shared.
+    """
+    from qoc_tpu.ops.expm import _EXPM_FORWARD, _pallas_ok
+
+    if not isinstance(hamiltonian, EnsembleLinearHamiltonian):
+        return None
+    if pstate.magnus_policy != MagnusPolicy.M2 or pstate.step_costs:
+        return None
+    if pstate.control_eval_times is None:
+        return None
+    if not (_EXPM_FORWARD["impl"] == "pallas"
+            or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok())):
+        return None
+    if (params.ndim != 2 or np.iscomplexobj(params)
+            or params.shape[1] != hamiltonian.param_count):
+        return None
+
+    rdt = real_dtype()
+    initial_states = np.asarray(pstate.initial_states).astype(
+        np_complex_dtype())
+    d = initial_states.shape[-2]
+    dt = float(pstate.dt)
+    n_steps = pstate.system_eval_count - 1
+    m_per_shard = n_members // n_shards
+    block = max(1, min(n_steps, (8 * 1024 * 1024) // (d * d * m_per_shard)))
+
+    from qoc_tpu.ops.chain_pallas import (chain_fused_ok,
+                                          make_chain_expm_propagate)
+    if not chain_fused_ok(d, block):
+        return None
+
+    n_blocks = -(-n_steps // block)
+    pad = n_blocks * block - n_steps
+    cet = np.asarray(pstate.control_eval_times, dtype=rdt)
+    costs = pstate.costs
+    final_step = pstate.final_system_eval_step
+    p_count = hamiltonian.param_count
+    basis = hamiltonian.generator_basis(dt).astype(np_complex_dtype())
+    fused_chain = make_chain_expm_propagate(basis)
+    params = params.astype(np.dtype(rdt).name)
+    # Same auto-remat rule as core/schroedinger.py, scaled by the shard's
+    # member count (the prefix residuals are per member).
+    residual_bytes = (10 * initial_states.itemsize * n_steps * d * d
+                      * m_per_shard)
+    remat = residual_bytes > 4 * 1024 ** 3
+
+    def shard_fn(controls, params_shard):
+        delta = params_shard.astype(rdt)            # (M_s, P), varying
+
+        def weights(times, valid):
+            """(M_s, B, 1 + P + 2C) weight rows at the step midpoints."""
+            c_mid = jax.vmap(
+                lambda t: interpolate_linear_set(t + dt / 2, cet, controls)
+            )(times)
+            c_mid = jnp.atleast_2d(c_mid)
+            ones = jnp.ones(c_mid.shape[:-1] + (1,), dtype=rdt)
+            ri = jnp.stack((jnp.real(c_mid), jnp.imag(c_mid)), axis=-1)
+            ri = ri.reshape(c_mid.shape[:-1] + (2 * c_mid.shape[-1],))
+            ctl = jnp.concatenate((ones, ri.astype(rdt)), axis=-1)
+            # Controls are replicated; promote to the varying member axis
+            # before mixing with the per-shard δ columns.
+            if check_vma:
+                ctl = lax.pcast(ctl, (axis_name,), to="varying")
+            b = times.shape[0]
+            w = jnp.concatenate((
+                jnp.broadcast_to(ctl[None, :, :1], (m_per_shard, b, 1)),
+                jnp.broadcast_to(delta[:, None, :], (m_per_shard, b,
+                                                     p_count)),
+                jnp.broadcast_to(ctl[None, :, 1:],
+                                 (m_per_shard, b, ctl.shape[-1] - 1)),
+            ), axis=-1)
+            return (w * valid[None, :, None].astype(rdt)).astype(jnp.float32)
+
+        def block_body(states, xs):
+            ks_block, valid = xs
+            times = (ks_block - 1).astype(rdt) * dt
+            prods = fused_chain(weights(times, valid))   # (M_s, d, d)
+            states = jnp.einsum("mij,mkjl->mkil", prods, states,
+                                precision=MATMUL_PRECISION)
+            return states, None
+
+        body_fn = jax.checkpoint(block_body) if remat else block_body
+        ks = jnp.arange(1, pstate.system_eval_count)
+        if pad:
+            ks = jnp.concatenate((ks, jnp.full(
+                (pad,), pstate.system_eval_count, dtype=ks.dtype)))
+        valid = ks < pstate.system_eval_count
+        xs = (ks.reshape(n_blocks, block), valid.reshape(n_blocks, block))
+        states0 = jnp.broadcast_to(
+            jnp.asarray(initial_states)[None],
+            (m_per_shard,) + initial_states.shape)
+        if check_vma:
+            states0 = lax.pcast(states0, (axis_name,), to="varying")
+        states, _ = lax.scan(body_fn, states0, xs)
+
+        def member_cost(states_m):
+            err = jnp.asarray(0.0, dtype=rdt)
+            for cost in costs:
+                if not cost.requires_step_evaluation:
+                    err = err + cost.cost(controls, states_m, final_step)
+            return err
+
+        errs = jax.vmap(member_cost)(states)
+        total = lax.psum(jnp.sum(errs), axis_name)
+        return total / n_members, states
+
+    sharded = shard_map(shard_fn, mesh=mesh,
+                        in_specs=(P(), P(axis_name)),
+                        out_specs=(P(), P(axis_name)), check_vma=check_vma)
+
+    def loss(controls):
+        return sharded(controls, jnp.asarray(params))
+
+    loss.uses_fused_chain = True
     return loss
 
 

@@ -4,19 +4,38 @@ The BASELINE.json north star calls for "thousands of pulse candidates ...
 rolled out in parallel". GRAPE landscapes are non-convex and the reference's
 answer is rerunning with different ``initial_controls`` by hand; here the
 candidate axis is a batch dimension: every candidate carries its own
-controls and Adam state, the whole (loss + grad + update) iteration is
-``vmap``-ed over candidates and sharded across the mesh, and the best
-candidate wins. Per-iteration communication is zero (candidates are
-independent); only the final argmin reads across the axis.
+controls and Adam state, the whole (loss + grad + update) iteration runs
+device-resident — candidates sharded over a ``"candidate"`` mesh axis,
+optionally crossed with an ``"ensemble"`` axis for robust-GRAPE multistart
+(each candidate's error is the psum-reduced ensemble mean) — and the best
+candidate wins. Per-iteration communication is zero for plain multistart
+(candidates are independent); ensemble multistart psums member partials.
+
+Execution is CHUNKED like core/graperunner.py: a ``lax.scan`` over the chunk
+inside the shard (one dispatch per chunk) on CPU-class backends, or a jitted
+single-iteration step Python-looped with device row buffers on the axon TPU
+tunnel. ``min_error`` terminates when any candidate's evaluation reaches it
+(per-candidate freezing keeps already-converged candidates fixed).
+
+Fast path: for a declared :class:`LinearHamiltonian` /
+:class:`EnsembleLinearHamiltonian` under Magnus-M2 with no step costs, every
+(candidate × member) trajectory is a chain of exp-of-linear-combination
+steps, so the whole shard propagates through ONE batched fused Pallas chain
+kernel per time block (ops/chain_pallas.py — the flattened candidate×member
+axis is the kernel's major grid dimension). The per-candidate gradient falls
+out of one value_and_grad of the shard SUM (candidates are independent, so
+d(Σ_c err_c)/d(params_c') = d err_c'/d params_c').
 """
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec
+from jax import lax, shard_map
+from jax.sharding import PartitionSpec as P
 
-from qoc_tpu.config import device_get, np_real_dtype, real_dtype
+from qoc_tpu.config import (MATMUL_PRECISION, device_get, np_complex_dtype,
+                            np_real_dtype, real_dtype)
 from qoc_tpu.core.common import (
     clip_control_norms_jax,
     gen_controls_white,
@@ -28,50 +47,85 @@ from qoc_tpu.core.common import (
 )
 from qoc_tpu.core.schroedinger import build_schroedinger_loss
 from qoc_tpu.models import (
+    EnsembleLinearHamiltonian,
     GrapeSchroedingerDiscreteState,
     GrapeSchroedingerResult,
     InterpolationPolicy,
+    LinearHamiltonian,
     MagnusPolicy,
 )
+from qoc_tpu.ops.interpolate import interpolate_linear_set
 from qoc_tpu.optim import Adam
-from qoc_tpu.parallel.sharding import make_mesh
+from qoc_tpu.parallel.sharding import ENSEMBLE_AXIS, make_mesh
+from qoc_tpu.profiler import RateMeter
 
 __all__ = ["grape_schroedinger_multistart"]
 
 CANDIDATE_AXIS = "candidate"
+
+_DEFAULT_CHUNK = 100
 
 
 def grape_schroedinger_multistart(control_count, control_eval_count, costs,
                                   evolution_time, hamiltonian,
                                   initial_states, system_eval_count,
                                   n_starts=8, complex_controls=False,
-                                  cost_eval_step=1, initial_controls=None,
+                                  cost_eval_step=1,
+                                  hamiltonian_params=None,
+                                  initial_controls=None,
                                   interpolation_policy=InterpolationPolicy.LINEAR,
                                   iteration_count=1000,
                                   log_iteration_step=10,
                                   magnus_policy=MagnusPolicy.M2,
                                   max_control_norms=None, mesh=None,
-                                  optimizer=None, seed=0):
+                                  min_error=0, optimizer=None, seed=0,
+                                  fused_chunk=None, fused_mode=None,
+                                  check_vma=True):
     """Optimize ``n_starts`` independent pulse candidates in parallel and
     return the best (qoc_tpu extension).
 
     Candidate 0 uses the reference's flat initial controls (or the supplied
     ``initial_controls``); the rest are white-noise seeds
     (reference common.py:78-108 generator). ``n_starts`` must be divisible
-    by the mesh size when a mesh is given.
+    by the mesh's "candidate" axis size.
 
-    Returns a ``GrapeSchroedingerResult`` for the winning candidate, with
-    ``result.errors`` holding every candidate's final error.
+    Robust-GRAPE multistart: pass ``hamiltonian_params`` (n_members, P) and
+    an ensemble-contract ``hamiltonian(params_row, controls, t)`` (e.g. an
+    :class:`EnsembleLinearHamiltonian`); each candidate then optimizes the
+    ensemble-mean error. A 2-D mesh with axes ("candidate", "ensemble")
+    shards both axes; the default mesh puts all devices on the candidate
+    axis with a size-1 ensemble axis.
+
+    ``min_error`` terminates the run when any candidate's evaluation
+    reaches it. Returns a ``GrapeSchroedingerResult`` for the winning
+    candidate, with ``result.errors`` holding every candidate's best error
+    and ``result.iterations_per_s`` the aggregate candidate-iteration rate.
     """
     costs = list(costs)
     if optimizer is None:
         optimizer = Adam()
+    ensemble = hamiltonian_params is not None
     if mesh is None:
-        mesh = make_mesh(axis_name=CANDIDATE_AXIS)
-    n_devices = int(np.prod(list(mesh.shape.values())))
-    if n_starts % n_devices != 0:
-        raise ValueError("n_starts {} must be divisible by the mesh size {}"
-                         "".format(n_starts, n_devices))
+        if ensemble:
+            devices = np.asarray(jax.devices()).reshape(-1, 1)
+            from jax.sharding import Mesh
+            mesh = Mesh(devices, (CANDIDATE_AXIS, ENSEMBLE_AXIS))
+        else:
+            mesh = make_mesh(axis_name=CANDIDATE_AXIS)
+    n_cand_shards = mesh.shape.get(CANDIDATE_AXIS, 1)
+    n_ens_shards = mesh.shape.get(ENSEMBLE_AXIS, 1)
+    if n_starts % n_cand_shards != 0:
+        raise ValueError("n_starts {} must be divisible by the candidate "
+                         "mesh axis size {}".format(n_starts, n_cand_shards))
+    if ensemble:
+        hamiltonian_params = np.asarray(hamiltonian_params)
+        n_members = hamiltonian_params.shape[0]
+        if n_members % n_ens_shards != 0:
+            raise ValueError(
+                "ensemble member count {} must be divisible by the ensemble "
+                "mesh axis size {}".format(n_members, n_ens_shards))
+    else:
+        n_members = 1
 
     base_controls, max_control_norms = initialize_controls(
         complex_controls, control_count, control_eval_count, evolution_time,
@@ -80,31 +134,88 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
         complex_controls, control_count, control_eval_count, cost_eval_step,
         costs, evolution_time, hamiltonian, None, base_controls,
         initial_states, interpolation_policy, iteration_count,
-        log_iteration_step, max_control_norms, magnus_policy, 0.0, optimizer,
-        None, False, 0, system_eval_count)
+        log_iteration_step, max_control_norms, magnus_policy, min_error,
+        optimizer, None, False, 0, system_eval_count)
     result = GrapeSchroedingerResult()
 
-    loss_controls = build_schroedinger_loss(pstate)
     cc = complex_controls
     shape = pstate.controls_shape
     rdt = real_dtype()
     mcn = np.asarray(max_control_norms)
+    c_per_shard = n_starts // n_cand_shards
+    vary_axes = ((CANDIDATE_AXIS, ENSEMBLE_AXIS) if ensemble
+                 else (CANDIDATE_AXIS,))
 
-    def loss_flat(flat_params):
-        return loss_controls(slap_controls_jax(cc, flat_params, shape))
+    # ---- per-shard loss of the candidate-batch SUM --------------------- --
+    # shard_loss_sum(clipped_flat (C_s, nflat)) -> (sum_c err_c, errs (C_s,))
+    # in the LOCAL-member partial sense; the ensemble psum/mean is applied
+    # by the iteration step.
+    shard_loss_sum = _make_shard_loss(
+        pstate, hamiltonian, hamiltonian_params, ensemble, cc, shape,
+        c_per_shard, n_ens_shards, vary_axes, check_vma)
 
-    vg = jax.value_and_grad(loss_flat, has_aux=True)
+    def iteration_step(carry):
+        params, opt_state, done, best_err, best_flat = carry
+        controls = jax.vmap(lambda p: slap_controls_jax(cc, p, shape))(params)
+        clipped = jax.vmap(
+            lambda c: clip_control_norms_jax(c, jnp.asarray(mcn)))(controls)
+        clipped_flat = jax.vmap(lambda c: strip_controls_jax(cc, c))(clipped)
+        (_, errors), grads = jax.value_and_grad(
+            shard_loss_sum, has_aux=True)(clipped_flat)
+        if ensemble:
+            errors = lax.psum(errors, ENSEMBLE_AXIS) / n_members
+            grads = lax.psum(grads, ENSEMBLE_AXIS) / n_members
+        new_opt_state, new_params = jax.vmap(optimizer.update_jax)(
+            opt_state, grads, params)
+        valid = ~done
+        improved = valid & (errors < best_err)
+        best_err = jnp.where(improved, errors, best_err)
+        best_flat = jnp.where(improved[:, None], clipped_flat, best_flat)
+        new_done = done | (errors <= min_error)
+        freeze = lambda new, old: jnp.where(
+            new_done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)
+        params = jax.tree_util.tree_map(freeze, new_params, params)
+        opt_state = jax.tree_util.tree_map(freeze, new_opt_state, opt_state)
+        carry = (params, opt_state, new_done, best_err, best_flat)
+        return carry, errors
 
-    def candidate_step(params, opt_state):
-        controls = slap_controls_jax(cc, params, shape)
-        clipped = clip_control_norms_jax(controls, jnp.asarray(mcn))
-        clipped_flat = strip_controls_jax(cc, clipped)
-        (error, _), grads = vg(clipped_flat)
-        opt_state, params = optimizer.update_jax(opt_state, grads, params)
-        # clipped_flat is the evaluated (projected) iterate matching `error`.
-        return params, opt_state, error, clipped_flat
+    # ---- sharded chunk execution ---------------------------------------- -
+    carry_specs = (P(CANDIDATE_AXIS), _opt_specs(optimizer),
+                   P(CANDIDATE_AXIS), P(CANDIDATE_AXIS), P(CANDIDATE_AXIS))
 
-    batched_step = jax.jit(jax.vmap(candidate_step))
+    chunk_cache = {}
+
+    def chunked(length):
+        if length not in chunk_cache:
+            def shard_chunk(*carry):
+                def body(c, _):
+                    return iteration_step(c)
+                carry_out, err_rows = lax.scan(body, carry, None,
+                                               length=length)
+                return carry_out + (err_rows,)
+
+            chunk_cache[length] = jax.jit(shard_map(
+                shard_chunk, mesh=mesh, in_specs=carry_specs,
+                out_specs=carry_specs + (P(None, CANDIDATE_AXIS),),
+                check_vma=check_vma))
+        return chunk_cache[length]
+
+    def stepwise_step():
+        if "step" not in chunk_cache:
+            def shard_step(*carry):
+                carry_out, errors = iteration_step(carry)
+                return carry_out + (errors,)
+
+            chunk_cache["step"] = jax.jit(shard_map(
+                shard_step, mesh=mesh, in_specs=carry_specs,
+                out_specs=carry_specs + (P(CANDIDATE_AXIS),),
+                check_vma=check_vma))
+        return chunk_cache["step"]
+
+    mode = fused_mode
+    if mode is None:
+        mode = ("stepwise" if jax.default_backend() not in ("cpu",)
+                else "scan")
 
     # Candidate seeds: reference flat controls + white-noise starts.
     seeds = [strip_controls(cc, base_controls)]
@@ -112,34 +223,271 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
         noise = gen_controls_white(cc, control_count, control_eval_count,
                                    evolution_time, mcn, seed=seed + i)
         seeds.append(strip_controls(cc, noise))
-    params = jnp.asarray(np.stack(seeds).astype(np_real_dtype()))
-    if n_devices > 1:
-        sharding = NamedSharding(mesh, PartitionSpec(CANDIDATE_AXIS))
-        params = jax.device_put(params, sharding)
+    params0 = np.stack(seeds).astype(np_real_dtype())
+
+    params = jax.device_put(
+        jnp.asarray(params0),
+        jax.sharding.NamedSharding(mesh, P(CANDIDATE_AXIS)))
 
     @jax.jit
-    def make_opt_state(params_):
-        return jax.vmap(optimizer.init_state)(params_)
+    def make_initial_carry(params_):
+        opt_state = jax.vmap(optimizer.init_state)(params_)
+        done = jnp.zeros((n_starts,), dtype=jnp.bool_)
+        best_err = jnp.full((n_starts,),
+                            np.finfo(np.dtype(rdt).name).max, dtype=rdt)
+        best_flat = jnp.zeros_like(params_)
+        return opt_state, done, best_err, best_flat
 
-    opt_state = make_opt_state(params)
-    errors = evaluated = None
-    for iteration in range(iteration_count):
-        params, opt_state, errors, evaluated = batched_step(params,
-                                                            opt_state)
-        if (pstate.should_log
-                and (iteration % pstate.log_iteration_step == 0
-                     or iteration == iteration_count - 1)):
-            errs = device_get(errors)
-            print("{:^6d} | best {:^1.8e} | median {:^1.8e}"
-                  "".format(iteration, float(np.min(errs)),
-                            float(np.median(errs))))
+    opt_state, done, best_err, best_flat = make_initial_carry(params)
+    carry = (params, opt_state, done, best_err, best_flat)
 
-    errors = device_get(errors)
+    chunk = int(fused_chunk or _DEFAULT_CHUNK)
+    meter = RateMeter().start()
+    iterations_left = iteration_count
+    iteration = 0
+    while iterations_left > 0:
+        length = min(chunk, iterations_left)
+        if mode == "scan":
+            out = chunked(length)(*carry)
+            carry, err_rows = out[:-1], out[-1]
+            err_rows = device_get(err_rows)                # (length, n_starts)
+        else:
+            step = stepwise_step()
+            rowbuf = jnp.zeros((length, n_starts), dtype=rdt)
+            for i in range(length):
+                out = step(*carry)
+                carry, errors = out[:-1], out[-1]
+                rowbuf = rowbuf.at[i].set(errors)
+            err_rows = device_get(rowbuf)
+        meter.tick(length * n_starts)
+        for j in range(length):
+            it = iteration + j
+            if (pstate.should_log
+                    and (it % pstate.log_iteration_step == 0
+                         or it == iteration_count - 1)):
+                print("{:^6d} | best {:^1.8e} | median {:^1.8e}"
+                      "".format(it, float(np.min(err_rows[j])),
+                                float(np.median(err_rows[j]))))
+        iteration += length
+        iterations_left -= length
+        if np.min(err_rows) <= min_error and min_error > 0:
+            break
+
+    _, _, _, best_err, best_flat = carry
+    errors = np.asarray(device_get(best_err))
     winner = int(np.argmin(errors))
-    winning_flat = device_get(evaluated[winner])
-    result.best_controls = slap_controls(cc, np.asarray(winning_flat), shape)
+    winning_flat = np.asarray(device_get(best_flat))[winner]
+    result.best_controls = slap_controls(cc, winning_flat, shape)
     result.best_error = float(errors[winner])
-    result.best_iteration = iteration_count - 1
+    result.best_iteration = iteration - 1
     result.errors = errors
-    result.iteration_count_ran = iteration_count
+    result.iteration_count_ran = iteration
+    result.iterations_per_s = meter.mean_rate
     return result
+
+
+def _opt_specs(optimizer):
+    """PartitionSpecs for the per-candidate optimizer-state pytree (every
+    leaf carries the candidate axis first)."""
+    probe = jax.eval_shape(
+        lambda: jax.vmap(optimizer.init_state)(jnp.zeros((2, 3))))
+    return jax.tree_util.tree_map(lambda _: P(CANDIDATE_AXIS), probe)
+
+
+def _make_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble, cc,
+                     shape, c_per_shard, n_ens_shards, vary_axes, check_vma):
+    """Build shard_loss_sum: clipped flat candidate params (C_s, nflat) ->
+    (Σ_c local-member error sum, per-candidate local errors (C_s,)).
+
+    Fused regime (Linear/EnsembleLinearHamiltonian, Magnus M2, no step
+    costs, Pallas available): all candidate×member trajectories propagate
+    through one batched chain kernel per time block. Otherwise the generic
+    per-candidate loss runs under vmap.
+    """
+    fused = _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params,
+                                   ensemble, cc, shape, c_per_shard,
+                                   n_ens_shards, vary_axes, check_vma)
+    if fused is not None:
+        return fused
+
+    if ensemble:
+        members = np.asarray(hamiltonian_params)
+        m_per_shard = members.shape[0] // n_ens_shards
+
+        def member_loss(controls, params_row):
+            override = lambda c, t: hamiltonian(params_row, c, t)
+            loss = build_schroedinger_loss(
+                pstate, hamiltonian_override=override,
+                pvary_axes=vary_axes if check_vma else None)
+            return loss(controls)[0]
+
+        def shard_loss_sum(clipped_flat):
+            def candidate_err(flat):
+                controls = slap_controls_jax(cc, flat, shape)
+                if ENSEMBLE_AXIS in vary_axes and n_ens_shards > 1:
+                    shard_index = lax.axis_index(ENSEMBLE_AXIS)
+                    rows = lax.dynamic_slice_in_dim(
+                        jnp.asarray(members), shard_index * m_per_shard,
+                        m_per_shard, axis=0)
+                else:
+                    rows = jnp.asarray(members)
+                errs = jax.vmap(
+                    lambda row: member_loss(controls, row))(rows)
+                return jnp.sum(errs)
+
+            errs = jax.vmap(candidate_err)(clipped_flat)
+            return jnp.sum(errs), errs
+
+        shard_loss_sum.uses_fused_chain = False
+        return shard_loss_sum
+
+    loss = build_schroedinger_loss(
+        pstate, pvary_axes=vary_axes if check_vma else None)
+
+    def shard_loss_sum(clipped_flat):
+        def candidate_err(flat):
+            return loss(slap_controls_jax(cc, flat, shape))[0]
+
+        errs = jax.vmap(candidate_err)(clipped_flat)
+        return jnp.sum(errs), errs
+
+    shard_loss_sum.uses_fused_chain = False
+    return shard_loss_sum
+
+
+def _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble,
+                           cc, shape, c_per_shard, n_ens_shards, vary_axes,
+                           check_vma):
+    from qoc_tpu.ops.expm import _EXPM_FORWARD, _pallas_ok
+
+    if ensemble:
+        if not isinstance(hamiltonian, EnsembleLinearHamiltonian):
+            return None
+        params = np.asarray(hamiltonian_params)
+        if (params.ndim != 2 or np.iscomplexobj(params)
+                or params.shape[1] != hamiltonian.param_count):
+            return None
+        p_count = hamiltonian.param_count
+        m_per_shard = params.shape[0] // n_ens_shards
+    else:
+        if not isinstance(hamiltonian, LinearHamiltonian):
+            return None
+        if isinstance(hamiltonian, EnsembleLinearHamiltonian):
+            return None
+        params = None
+        p_count = 0
+        m_per_shard = 1
+    if pstate.magnus_policy != MagnusPolicy.M2 or pstate.step_costs:
+        return None
+    if pstate.control_eval_times is None:
+        return None
+    if not (_EXPM_FORWARD["impl"] == "pallas"
+            or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok())):
+        return None
+
+    rdt = real_dtype()
+    initial_states = np.asarray(pstate.initial_states).astype(
+        np_complex_dtype())
+    d = initial_states.shape[-2]
+    dt = float(pstate.dt)
+    n_steps = pstate.system_eval_count - 1
+    n_chains = c_per_shard * m_per_shard
+    block = max(1, min(n_steps, (8 * 1024 * 1024) // (d * d * n_chains)))
+
+    from qoc_tpu.ops.chain_pallas import (chain_fused_ok,
+                                          make_chain_expm_propagate)
+    if not chain_fused_ok(d, block):
+        return None
+
+    n_blocks = -(-n_steps // block)
+    pad = n_blocks * block - n_steps
+    cet = np.asarray(pstate.control_eval_times, dtype=rdt)
+    costs = pstate.costs
+    final_step = pstate.final_system_eval_step
+    basis = hamiltonian.generator_basis(dt).astype(np_complex_dtype())
+    fused_chain = make_chain_expm_propagate(basis)
+    if params is not None:
+        params = params.astype(np.dtype(rdt).name)
+    residual_bytes = (10 * initial_states.itemsize * n_steps * d * d
+                      * n_chains)
+    remat = residual_bytes > 4 * 1024 ** 3
+
+    def shard_loss_sum(clipped_flat):
+        controls = jax.vmap(
+            lambda p: slap_controls_jax(cc, p, shape))(clipped_flat)
+        if ensemble and ENSEMBLE_AXIS in vary_axes and n_ens_shards > 1:
+            shard_index = lax.axis_index(ENSEMBLE_AXIS)
+            delta = lax.dynamic_slice_in_dim(
+                jnp.asarray(params), shard_index * m_per_shard, m_per_shard,
+                axis=0).astype(rdt)
+        elif ensemble:
+            delta = jnp.asarray(params).astype(rdt)
+        else:
+            delta = None
+
+        def weights(times, valid):
+            """Weight rows (n_chains, B, n_b) at the step midpoints:
+            [1, δ_m, Re c, Im c] per (candidate, member) chain."""
+            def one_candidate(ctl_row):
+                c_mid = jax.vmap(lambda t: interpolate_linear_set(
+                    t + dt / 2, cet, ctl_row))(times)
+                c_mid = jnp.atleast_2d(c_mid)
+                ri = jnp.stack((jnp.real(c_mid), jnp.imag(c_mid)), axis=-1)
+                return ri.reshape(
+                    c_mid.shape[:-1] + (2 * c_mid.shape[-1],)).astype(rdt)
+
+            ri = jax.vmap(one_candidate)(controls)        # (C_s, B, 2C)
+            b = times.shape[0]
+            ones = jnp.ones((c_per_shard, b, 1), dtype=rdt)
+            if ensemble:
+                # (C_s, M_s, B, n_b) -> (C_s*M_s, B, n_b)
+                w = jnp.concatenate((
+                    jnp.broadcast_to(ones[:, None],
+                                     (c_per_shard, m_per_shard, b, 1)),
+                    jnp.broadcast_to(delta[None, :, None, :],
+                                     (c_per_shard, m_per_shard, b, p_count)),
+                    jnp.broadcast_to(ri[:, None],
+                                     (c_per_shard, m_per_shard, b,
+                                      ri.shape[-1])),
+                ), axis=-1).reshape(n_chains, b, 1 + p_count + ri.shape[-1])
+            else:
+                w = jnp.concatenate((ones, ri), axis=-1)
+            return (w * valid[None, :, None].astype(rdt)).astype(jnp.float32)
+
+        def block_body(states, xs):
+            ks_block, valid = xs
+            times = (ks_block - 1).astype(rdt) * dt
+            prods = fused_chain(weights(times, valid))  # (n_chains, d, d)
+            states = jnp.einsum("mij,mkjl->mkil", prods, states,
+                                precision=MATMUL_PRECISION)
+            return states, None
+
+        body_fn = jax.checkpoint(block_body) if remat else block_body
+        ks = jnp.arange(1, pstate.system_eval_count)
+        if pad:
+            ks = jnp.concatenate((ks, jnp.full(
+                (pad,), pstate.system_eval_count, dtype=ks.dtype)))
+        valid = ks < pstate.system_eval_count
+        xs = (ks.reshape(n_blocks, block), valid.reshape(n_blocks, block))
+        states0 = jnp.broadcast_to(
+            jnp.asarray(initial_states)[None],
+            (n_chains,) + initial_states.shape)
+        if check_vma:
+            states0 = lax.pcast(states0, vary_axes, to="varying")
+        states, _ = lax.scan(body_fn, states0, xs)
+
+        def chain_cost(states_m, ctl_row):
+            err = jnp.asarray(0.0, dtype=rdt)
+            for cost in costs:
+                if not cost.requires_step_evaluation:
+                    err = err + cost.cost(ctl_row, states_m, final_step)
+            return err
+
+        states = states.reshape((c_per_shard, m_per_shard)
+                                + initial_states.shape)
+        errs = jax.vmap(lambda sm, ctl: jnp.sum(
+            jax.vmap(lambda s: chain_cost(s, ctl))(sm)))(states, controls)
+        return jnp.sum(errs), errs
+
+    shard_loss_sum.uses_fused_chain = True
+    return shard_loss_sum

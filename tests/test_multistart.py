@@ -1,0 +1,143 @@
+"""Scaled multistart tests: chunked device-resident candidate batches on the
+8-way virtual mesh, fused-kernel parity, candidate × ensemble 2-D meshes,
+and min_error termination (BASELINE.json "thousands of pulse candidates"
+north star, scaled to the CPU test budget).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from qoc_tpu.models import EnsembleLinearHamiltonian, LinearHamiltonian
+from qoc_tpu.optim import Adam
+from qoc_tpu.parallel import grape_schroedinger_multistart, make_mesh
+from qoc_tpu.standard import (
+    SIGMA_Z,
+    TargetStateInfidelity,
+    get_annihilation_operator,
+    get_creation_operator,
+)
+
+
+@pytest.fixture()
+def interpreted_pallas(monkeypatch):
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig(*a, **{**{"interpret": True}, **kw}))
+
+
+def _problem():
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    hamiltonian = LinearHamiltonian(h0, np.stack((a,)))
+    initial_states = np.array([[[1.0], [0.0]]])
+    target_states = np.array([[[0.0], [1.0]]])
+    costs = [TargetStateInfidelity(target_states)]
+    return hamiltonian, initial_states, costs
+
+
+def test_multistart_64_candidates_sharded_matches_single_device():
+    hamiltonian, initial_states, costs = _problem()
+    kwargs = dict(n_starts=64, complex_controls=True, iteration_count=30,
+                  log_iteration_step=0, optimizer=Adam(learning_rate=0.02),
+                  system_eval_count=21, fused_chunk=10)
+    sharded = grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states,
+        mesh=make_mesh(8, axis_name="candidate"), **kwargs)
+    single = grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states,
+        mesh=make_mesh(1, axis_name="candidate"), **kwargs)
+    assert sharded.errors.shape == (64,)
+    assert np.allclose(sharded.errors, single.errors, atol=1e-9)
+    assert np.allclose(sharded.best_controls, single.best_controls,
+                       atol=1e-9)
+    assert sharded.best_error == sharded.errors.min()
+    assert sharded.iterations_per_s > 0
+
+
+def test_multistart_fused_matches_generic(interpreted_pallas):
+    from qoc_tpu.ops.expm import set_expm_forward
+    hamiltonian, initial_states, costs = _problem()
+    kwargs = dict(n_starts=8, complex_controls=True, iteration_count=8,
+                  log_iteration_step=0, optimizer=Adam(learning_rate=0.02),
+                  system_eval_count=21, fused_chunk=4, check_vma=False,
+                  mesh=make_mesh(8, axis_name="candidate"))
+    generic = grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states, **kwargs)
+    try:
+        set_expm_forward("pallas")
+        fused = grape_schroedinger_multistart(
+            1, 21, costs, 10, hamiltonian, initial_states, **kwargs)
+    finally:
+        set_expm_forward("auto")
+    # f32 kernel vs f64 XLA path: loose tolerance, same optimization run.
+    assert np.allclose(fused.errors, generic.errors, atol=1e-4)
+    assert np.abs(fused.best_controls
+                  - generic.best_controls).max() < 1e-3
+
+
+def test_multistart_ensemble_2d_mesh_matches_1d():
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    ens_ham = EnsembleLinearHamiltonian(h0, np.stack((a,)), [h0])
+    params = np.linspace(-0.05, 0.05, 4).reshape(-1, 1)
+    initial_states = np.array([[[1.0], [0.0]]])
+    target_states = np.array([[[0.0], [1.0]]])
+    costs = [TargetStateInfidelity(target_states)]
+    kwargs = dict(n_starts=8, complex_controls=True, iteration_count=10,
+                  log_iteration_step=0, optimizer=Adam(learning_rate=0.02),
+                  system_eval_count=21, hamiltonian_params=params,
+                  fused_chunk=5)
+    devices = np.asarray(jax.devices())
+    mesh_2d = Mesh(devices.reshape(4, 2), ("candidate", "ensemble"))
+    mesh_1d = Mesh(devices.reshape(8, 1), ("candidate", "ensemble"))
+    r2d = grape_schroedinger_multistart(
+        1, 21, costs, 10, ens_ham, initial_states, mesh=mesh_2d, **kwargs)
+    r1d = grape_schroedinger_multistart(
+        1, 21, costs, 10, ens_ham, initial_states, mesh=mesh_1d, **kwargs)
+    assert np.allclose(r2d.errors, r1d.errors, atol=1e-9)
+    assert np.allclose(r2d.best_controls, r1d.best_controls, atol=1e-9)
+
+
+def test_multistart_ensemble_fused_matches_generic(interpreted_pallas):
+    from qoc_tpu.ops.expm import set_expm_forward
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    ens_ham = EnsembleLinearHamiltonian(h0, np.stack((a,)), [h0])
+    params = np.linspace(-0.05, 0.05, 2).reshape(-1, 1)
+    initial_states = np.array([[[1.0], [0.0]]])
+    target_states = np.array([[[0.0], [1.0]]])
+    costs = [TargetStateInfidelity(target_states)]
+    devices = np.asarray(jax.devices())
+    kwargs = dict(n_starts=4, complex_controls=True, iteration_count=6,
+                  log_iteration_step=0, optimizer=Adam(learning_rate=0.02),
+                  system_eval_count=21, hamiltonian_params=params,
+                  fused_chunk=3, check_vma=False,
+                  mesh=Mesh(devices.reshape(4, 2),
+                            ("candidate", "ensemble")))
+    generic = grape_schroedinger_multistart(
+        1, 21, costs, 10, ens_ham, initial_states, **kwargs)
+    try:
+        set_expm_forward("pallas")
+        fused = grape_schroedinger_multistart(
+            1, 21, costs, 10, ens_ham, initial_states, **kwargs)
+    finally:
+        set_expm_forward("auto")
+    assert np.allclose(fused.errors, generic.errors, atol=1e-4)
+
+
+def test_multistart_min_error_terminates_early():
+    hamiltonian, initial_states, costs = _problem()
+    result = grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states,
+        system_eval_count=21, n_starts=8, complex_controls=True,
+        iteration_count=400, log_iteration_step=0, min_error=0.1,
+        fused_chunk=25, optimizer=Adam(learning_rate=0.02),
+        mesh=make_mesh(8, axis_name="candidate"))
+    assert result.best_error <= 0.1
+    assert result.iteration_count_ran < 400

@@ -99,3 +99,112 @@ def test_multistart_beats_or_matches_single_start():
     assert np.isfinite(result.best_error)
     # best candidate made progress from ~0.97 initial error
     assert result.best_error < 0.5
+
+def test_fused_ensemble_matches_generic_path(monkeypatch):
+    """An EnsembleLinearHamiltonian routes the ensemble loss through the
+    fused chain kernel (member-batched Pallas dispatch) with loss and
+    gradient identical to the generic vmap(magnus+expm) path."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig(*a, **{**{"interpret": True}, **kw}))
+
+    from qoc_tpu.core.common import initialize_controls
+    from qoc_tpu.models import (EnsembleLinearHamiltonian,
+                                GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy, MagnusPolicy)
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.parallel import build_ensemble_loss
+    from qoc_tpu.parallel.sharding import make_mesh
+
+    rng = np.random.default_rng(33)
+    d, n_c, n_steps, n_members = 4, 2, 25, 8
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    ops = 0.4 * (rng.normal(size=(n_c, d, d))
+                 + 1j * rng.normal(size=(n_c, d, d)))
+    ens_ham = EnsembleLinearHamiltonian(h0, ops, [h0])  # (1+delta) * h0
+    params = rng.normal(scale=0.05, size=(n_members, 1))
+    initial = np.zeros((1, d, 1), dtype=complex)
+    initial[0, 0] = 1
+    target = np.zeros((1, d, 1), dtype=complex)
+    target[0, -1] = 1
+    from qoc_tpu.standard import TargetStateInfidelity
+    costs = [TargetStateInfidelity(target)]
+
+    def make_pstate():
+        return GrapeSchroedingerDiscreteState(
+            True, n_c, n_steps, 1, costs, 2.0, None, None,
+            np.zeros((n_steps, n_c), dtype=complex), initial,
+            InterpolationPolicy.LINEAR, 1, 0, [10.0] * n_c,
+            MagnusPolicy.M2, 0, Adam(), None, False, 0, n_steps)
+
+    controls = (0.3 * (rng.normal(size=(n_steps, n_c))
+                       + 1j * rng.normal(size=(n_steps, n_c)))).astype(
+                           np.complex64)
+    mesh = make_mesh(8)
+
+    try:
+        set_expm_forward("pallas")
+        loss_fused = build_ensemble_loss(make_pstate(), ens_ham, params,
+                                         mesh, check_vma=False)
+        assert loss_fused.uses_fused_chain
+        err_fused = float(loss_fused(jnp.asarray(controls))[0])
+        g_fused = np.asarray(jax.grad(
+            lambda c: loss_fused(c)[0])(jnp.asarray(controls)))
+    finally:
+        set_expm_forward("auto")
+
+    # Generic path: the same object is callable with the
+    # (params_row, controls, time) ensemble contract.
+    loss_generic = build_ensemble_loss(make_pstate(), ens_ham, params, mesh)
+    assert not loss_generic.uses_fused_chain
+    err_gen, states_gen = loss_generic(jnp.asarray(controls))
+    g_gen = np.asarray(jax.grad(
+        lambda c: loss_generic(c)[0])(jnp.asarray(controls)))
+    assert abs(err_fused - float(err_gen)) < 1e-4
+    assert np.abs(g_fused - g_gen).max() < 1e-3 * max(1.0,
+                                                      np.abs(g_gen).max())
+
+    # Sharded == single-device exactness for the fused path.
+    try:
+        set_expm_forward("pallas")
+        loss_single = build_ensemble_loss(make_pstate(), ens_ham, params,
+                                          make_mesh(1), check_vma=False)
+        assert loss_single.uses_fused_chain
+        err_single = float(loss_single(jnp.asarray(controls))[0])
+    finally:
+        set_expm_forward("auto")
+    assert np.isclose(err_fused, err_single, rtol=1e-6)
+
+def test_state_axis_sharding_matches_single_device():
+    """mesh= on the plain driver shards the K state axis (gate synthesis:
+    K = d unitary columns) with results identical to the unsharded run."""
+    from qoc_tpu import grape_schroedinger_discrete
+    from qoc_tpu.standard import (column_vector_list_to_matrix,
+                                  matrix_to_column_vector_list)
+    rng = np.random.default_rng(5)
+    d = 8
+    h = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h + h.conj().T) / 2
+    drive = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    hamiltonian = lambda c, t: (jnp.asarray(h0) + c[0] * jnp.asarray(drive)
+                                + jnp.conjugate(c[0])
+                                * jnp.asarray(drive.conj().T))
+    initial_states = matrix_to_column_vector_list(np.eye(d))
+    target_unitary = np.linalg.qr(
+        rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d)))[0]
+    target_states = matrix_to_column_vector_list(target_unitary)
+    costs = [TargetStateInfidelity(target_states)]
+    kwargs = dict(complex_controls=True, iteration_count=8,
+                  log_iteration_step=0, optimizer=Adam(learning_rate=0.02))
+    sharded = grape_schroedinger_discrete(
+        1, 11, costs, 5, hamiltonian, initial_states, 11,
+        mesh=make_mesh(8, axis_name="state"), **kwargs)
+    single = grape_schroedinger_discrete(
+        1, 11, costs, 5, hamiltonian, initial_states, 11, **kwargs)
+    assert np.allclose(sharded.errors, single.errors, atol=1e-9)
+    assert np.allclose(sharded.best_controls, single.best_controls,
+                       atol=1e-9)
+    assert sharded.best_final_states.shape == (8, d, 1)
