@@ -130,7 +130,10 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
     dt = float(pstate.dt)
     n_steps = pstate.system_eval_count - 1
     m_per_shard = n_members // n_shards
-    block = max(1, min(n_steps, (8 * 1024 * 1024) // (d * d * m_per_shard)))
+    # Floor of 2*SEGMENTS: below that the chain kernel disables itself
+    # (chain_fused_ok); the 8 MB heuristic only sizes the per-block HBM
+    # buffers, VMEM per grid step is batch-independent.
+    block = min(n_steps, max(16, (8 * 1024 * 1024) // (d * d * m_per_shard)))
 
     from qoc_tpu.ops.chain_pallas import (chain_fused_ok,
                                           make_chain_expm_propagate)

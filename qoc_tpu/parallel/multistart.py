@@ -392,7 +392,10 @@ def _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble,
     dt = float(pstate.dt)
     n_steps = pstate.system_eval_count - 1
     n_chains = c_per_shard * m_per_shard
-    block = max(1, min(n_steps, (8 * 1024 * 1024) // (d * d * n_chains)))
+    # Floor of 2*SEGMENTS: below that the chain kernel disables itself
+    # (chain_fused_ok); the 8 MB heuristic only sizes the per-block HBM
+    # buffers, VMEM per grid step is batch-independent.
+    block = min(n_steps, max(16, (8 * 1024 * 1024) // (d * d * n_chains)))
 
     from qoc_tpu.ops.chain_pallas import (chain_fused_ok,
                                           make_chain_expm_propagate)

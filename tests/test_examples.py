@@ -20,7 +20,8 @@ def _import_example(name):
 
 def test_examples_import():
     for name in ("0_transmon_pi", "1_transmon_pi_decoherence", "tutorial",
-                 "2_iswap_gate", "3_ensemble_robust", "4_cavity_transfer"):
+                 "2_iswap_gate", "3_ensemble_robust", "4_cavity_transfer",
+                 "5_multistart_robust"):
         module = _import_example(name)
         assert hasattr(module, "main")
         assert callable(module.hamiltonian)
