@@ -228,20 +228,23 @@ def bench_multistart(n_starts=512):
 
     _, hamiltonian, initial, costs, _, _ = _bench_problem(
         D, CONTROL_COUNT, 201, 201, 2.0)
-    iters = 3
-    result = grape_schroedinger_multistart(
-        CONTROL_COUNT, 201, costs, 2.0, hamiltonian, initial, 201,
-        n_starts=n_starts, complex_controls=True, iteration_count=iters + 1,
-        log_iteration_step=0, optimizer=Adam(), fused_chunk=1)
-    # First chunk includes compile; measure with the meter excluded by
-    # rerunning the timed window manually instead.
-    start = time.perf_counter()
-    result = grape_schroedinger_multistart(
-        CONTROL_COUNT, 201, costs, 2.0, hamiltonian, initial, 201,
-        n_starts=n_starts, complex_controls=True, iteration_count=iters,
-        log_iteration_step=0, optimizer=Adam(), fused_chunk=iters)
-    elapsed = time.perf_counter() - start
-    return n_starts * iters / elapsed, float(np.min(result.errors))
+
+    def run(iters):
+        start = time.perf_counter()
+        result = grape_schroedinger_multistart(
+            CONTROL_COUNT, 201, costs, 2.0, hamiltonian, initial, 201,
+            n_starts=n_starts, complex_controls=True,
+            iteration_count=iters, log_iteration_step=0, optimizer=Adam(),
+            fused_chunk=iters)
+        return time.perf_counter() - start, result
+
+    run(2)                      # compile / cache-warm
+    # Every call pays the same fixed trace + cache-load overhead; the
+    # difference of two call lengths isolates the per-iteration cost.
+    t_short, _ = run(2)
+    t_long, result = run(12)
+    per_iteration = max((t_long - t_short) / 10, 1e-9)
+    return n_starts / per_iteration, float(np.min(result.errors))
 
 
 def main():

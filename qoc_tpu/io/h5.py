@@ -105,6 +105,39 @@ class H5Checkpointer:
 
         self._locked_write(fill, mode="w", what="initial save")
 
+    def ensure_grape_capacity(self, save_count, iteration_count=None):
+        """Grow the preallocated per-save-step datasets to ``save_count``
+        rows (no-op when already large enough).
+
+        Used when a run resumes into its own save file with a larger
+        ``iteration_count`` than the original call: the schema preallocated
+        rows for the original count (create_grape_file), so the extension
+        rewrites each row-indexed dataset with the old rows preserved.
+        """
+        row_keys = ("controls", "error", "grads", "final_states",
+                    "final_densities", "intermediate_states",
+                    "intermediate_densities")
+
+        def fill(f):
+            for key in row_keys:
+                if key not in f:
+                    continue
+                data = np.asarray(f[key])
+                if data.shape[0] >= save_count:
+                    continue
+                grown = np.zeros((save_count,) + data.shape[1:],
+                                 dtype=data.dtype)
+                if key == "error":
+                    grown[:] = np.finfo(np.float64).max
+                grown[:data.shape[0]] = data
+                del f[key]
+                f[key] = grown
+            if iteration_count is not None and "iteration_count" in f:
+                del f["iteration_count"]
+                f["iteration_count"] = iteration_count
+
+        self._locked_write(fill, what="capacity grow")
+
     def save_grape_iteration(self, save_step, controls, error, final_evolved,
                              grads, evolved_key):
         """Fill one preallocated row (reference schroedingermodels.py:240-251)."""

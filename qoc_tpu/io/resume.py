@@ -64,6 +64,11 @@ def apply_resume(pstate, resume_from):
             and os.path.abspath(resume_from)
             == os.path.abspath(pstate.save_file_path)):
         pstate.resuming_same_file = True
+        if pstate.should_save:
+            # Extending the run (larger iteration_count than the original
+            # call) needs more preallocated rows.
+            pstate.checkpointer.ensure_grape_capacity(
+                pstate._save_count(), pstate.iteration_count)
 
 
 def load_best_controls(save_file_path):

@@ -45,6 +45,7 @@ from qoc_tpu.core.common import (
     strip_controls,
     strip_controls_jax,
 )
+from qoc_tpu.core.graperunner import _is_save_iteration
 from qoc_tpu.core.schroedinger import build_schroedinger_loss
 from qoc_tpu.models import (
     EnsembleLinearHamiltonian,
@@ -78,7 +79,9 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
                                   log_iteration_step=10,
                                   magnus_policy=MagnusPolicy.M2,
                                   max_control_norms=None, mesh=None,
-                                  min_error=0, optimizer=None, seed=0,
+                                  min_error=0, optimizer=None,
+                                  save_file_path=None,
+                                  save_iteration_step=0, seed=0,
                                   fused_chunk=None, fused_mode=None,
                                   check_vma=True):
     """Optimize ``n_starts`` independent pulse candidates in parallel and
@@ -97,9 +100,15 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     axis with a size-1 ensemble axis.
 
     ``min_error`` terminates the run when any candidate's evaluation
-    reaches it. Returns a ``GrapeSchroedingerResult`` for the winning
-    candidate, with ``result.errors`` holding every candidate's best error
-    and ``result.iterations_per_s`` the aggregate candidate-iteration rate.
+    reaches it. ``save_file_path``/``save_iteration_step`` write standard
+    GRAPE H5 rows for the PER-ITERATION winning candidate (its evaluated
+    error/controls/gradients; final states recomputed by one forward
+    dispatch per save row) — live-plottable with the usual tooling. H5
+    saving is not yet supported together with ``hamiltonian_params``
+    (member-stacked states do not fit the reference schema).
+    Returns a ``GrapeSchroedingerResult`` for the winning candidate, with
+    ``result.errors`` holding every candidate's best error and
+    ``result.iterations_per_s`` the aggregate candidate-iteration rate.
     """
     costs = list(costs)
     if optimizer is None:
@@ -130,12 +139,22 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     base_controls, max_control_norms = initialize_controls(
         complex_controls, control_count, control_eval_count, evolution_time,
         initial_controls, max_control_norms)
+    if ensemble and save_file_path is not None:
+        raise ValueError("H5 saving is not yet supported for ensemble "
+                         "multistart (member-stacked final states do not "
+                         "fit the reference schema).")
     pstate = GrapeSchroedingerDiscreteState(
         complex_controls, control_count, control_eval_count, cost_eval_step,
         costs, evolution_time, hamiltonian, None, base_controls,
         initial_states, interpolation_policy, iteration_count,
         log_iteration_step, max_control_norms, magnus_policy, min_error,
-        optimizer, None, False, 0, system_eval_count)
+        optimizer, save_file_path, False, save_iteration_step,
+        system_eval_count)
+    collect_saves = pstate.should_save
+    if collect_saves:
+        print("QOC is saving this optimization run to {}."
+              "".format(save_file_path))
+        pstate.checkpointer.create_grape_file(pstate, pstate._save_count())
     result = GrapeSchroedingerResult()
 
     cc = complex_controls
@@ -177,7 +196,15 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
         params = jax.tree_util.tree_map(freeze, new_params, params)
         opt_state = jax.tree_util.tree_map(freeze, new_opt_state, opt_state)
         carry = (params, opt_state, new_done, best_err, best_flat)
-        return carry, errors
+        if collect_saves:
+            # This iteration's SHARD-local winner (evaluated iterate, like
+            # run_grape's H5 rows); the global argmin happens on host.
+            local = jnp.argmin(errors)
+            rows = (errors, errors[local][None], clipped_flat[local][None],
+                    grads[local][None])
+        else:
+            rows = (errors,)
+        return carry, rows
 
     # ---- sharded chunk execution ---------------------------------------- -
     carry_specs = (P(CANDIDATE_AXIS), _opt_specs(optimizer),
@@ -185,30 +212,36 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
 
     chunk_cache = {}
 
+    if collect_saves:
+        row_specs = (P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
+                     P(CANDIDATE_AXIS, None), P(CANDIDATE_AXIS, None))
+    else:
+        row_specs = (P(CANDIDATE_AXIS),)
+    chunk_row_specs = tuple(P(*((None,) + spec)) for spec in row_specs)
+
     def chunked(length):
         if length not in chunk_cache:
             def shard_chunk(*carry):
                 def body(c, _):
                     return iteration_step(c)
-                carry_out, err_rows = lax.scan(body, carry, None,
-                                               length=length)
-                return carry_out + (err_rows,)
+                carry_out, rows = lax.scan(body, carry, None, length=length)
+                return carry_out + (rows,)
 
             chunk_cache[length] = jax.jit(shard_map(
                 shard_chunk, mesh=mesh, in_specs=carry_specs,
-                out_specs=carry_specs + (P(None, CANDIDATE_AXIS),),
+                out_specs=carry_specs + (chunk_row_specs,),
                 check_vma=check_vma))
         return chunk_cache[length]
 
     def stepwise_step():
         if "step" not in chunk_cache:
             def shard_step(*carry):
-                carry_out, errors = iteration_step(carry)
-                return carry_out + (errors,)
+                carry_out, rows = iteration_step(carry)
+                return carry_out + (rows,)
 
             chunk_cache["step"] = jax.jit(shard_map(
                 shard_step, mesh=mesh, in_specs=carry_specs,
-                out_specs=carry_specs + (P(CANDIDATE_AXIS),),
+                out_specs=carry_specs + (row_specs,),
                 check_vma=check_vma))
         return chunk_cache["step"]
 
@@ -241,6 +274,12 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     opt_state, done, best_err, best_flat = make_initial_carry(params)
     carry = (params, opt_state, done, best_err, best_flat)
 
+    states_fn = None
+    if collect_saves:
+        plain_loss = build_schroedinger_loss(pstate)
+        states_fn = jax.jit(
+            lambda f: plain_loss(slap_controls_jax(cc, f, shape))[1])
+
     chunk = int(fused_chunk or _DEFAULT_CHUNK)
     meter = RateMeter().start()
     iterations_left = iteration_count
@@ -249,16 +288,25 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
         length = min(chunk, iterations_left)
         if mode == "scan":
             out = chunked(length)(*carry)
-            carry, err_rows = out[:-1], out[-1]
-            err_rows = device_get(err_rows)                # (length, n_starts)
+            carry, rows = out[:-1], out[-1]
+            rows = device_get(rows)
         else:
             step = stepwise_step()
-            rowbuf = jnp.zeros((length, n_starts), dtype=rdt)
+            row_shapes = [
+                ((n_starts,), rdt),
+                ((n_cand_shards,), rdt),
+                ((n_cand_shards,) + params0.shape[1:], rdt),
+                ((n_cand_shards,) + params0.shape[1:], rdt),
+            ][:len(row_specs)]
+            rowbufs = [jnp.zeros((length,) + sh, dtype=dt)
+                       for sh, dt in row_shapes]
             for i in range(length):
                 out = step(*carry)
-                carry, errors = out[:-1], out[-1]
-                rowbuf = rowbuf.at[i].set(errors)
-            err_rows = device_get(rowbuf)
+                carry, step_rows = out[:-1], out[-1]
+                rowbufs = [buf.at[i].set(row)
+                           for buf, row in zip(rowbufs, step_rows)]
+            rows = device_get(tuple(rowbufs))
+        err_rows = np.asarray(rows[0])                 # (length, n_starts)
         meter.tick(length * n_starts)
         for j in range(length):
             it = iteration + j
@@ -268,6 +316,21 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
                 print("{:^6d} | best {:^1.8e} | median {:^1.8e}"
                       "".format(it, float(np.min(err_rows[j])),
                                 float(np.median(err_rows[j]))))
+            if collect_saves and _is_save_iteration(pstate, it):
+                werrs, wflats, wgrads = (np.asarray(rows[1]),
+                                         np.asarray(rows[2]),
+                                         np.asarray(rows[3]))
+                shard_winner = int(np.argmin(werrs[j]))
+                flat = wflats[j, shard_winner]
+                controls_cf = slap_controls(cc, flat, shape)
+                grads_cf = slap_controls(cc, wgrads[j, shard_winner], shape)
+                final_states = np.asarray(device_get(
+                    states_fn(jnp.asarray(flat))))
+                save_step = it // pstate.save_iteration_step
+                pstate.checkpointer.save_grape_iteration(
+                    int(save_step), controls_cf,
+                    float(werrs[j, shard_winner]), final_states, grads_cf,
+                    "final_states")
         iteration += length
         iterations_left -= length
         if np.min(err_rows) <= min_error and min_error > 0:
@@ -283,7 +346,41 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     result.errors = errors
     result.iteration_count_ran = iteration
     result.iterations_per_s = meter.mean_rate
+    # One forward evaluation of the winner reconstructs its final states
+    # (per member for robust multistart) — cheaper than carrying state
+    # buffers for every candidate through the optimization.
+    result.best_final_states = _winner_final_states(
+        pstate, hamiltonian, hamiltonian_params, ensemble, cc, shape,
+        winning_flat)
     return result
+
+
+def _winner_final_states(pstate, hamiltonian, hamiltonian_params, ensemble,
+                         cc, shape, winning_flat):
+    # Only the flat REAL params cross host->device; the complex controls are
+    # rebuilt inside the jit (the axon backend rejects complex arguments).
+    flat = jnp.asarray(np.asarray(winning_flat).astype(np_real_dtype()))
+    if ensemble:
+        members = np.asarray(hamiltonian_params)
+        members = members.astype(np_complex_dtype()
+                                 if np.iscomplexobj(members)
+                                 else np_real_dtype())
+
+        def member_states(flat_params, row):
+            controls = slap_controls_jax(cc, flat_params, shape)
+            override = lambda c, t: hamiltonian(row, c, t)
+            loss = build_schroedinger_loss(pstate,
+                                           hamiltonian_override=override)
+            return loss(controls)[1]
+
+        states = jax.jit(lambda f, rows: jax.vmap(
+            lambda row: member_states(f, row))(rows))(
+                flat, jnp.asarray(members))
+    else:
+        loss = build_schroedinger_loss(pstate)
+        states = jax.jit(lambda f: loss(
+            slap_controls_jax(cc, f, shape))[1])(flat)
+    return np.asarray(device_get(states))
 
 
 def _opt_specs(optimizer):

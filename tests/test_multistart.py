@@ -141,3 +141,45 @@ def test_multistart_min_error_terminates_early():
         mesh=make_mesh(8, axis_name="candidate"))
     assert result.best_error <= 0.1
     assert result.iteration_count_ran < 400
+
+
+def test_multistart_h5_saving(tmp_path):
+    import h5py
+    from qoc_tpu import evolve_schroedinger_discrete
+    hamiltonian, initial_states, costs = _problem()
+    save_path = str(tmp_path / "00000_multistart.h5")
+    result = grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states, 21, n_starts=8,
+        complex_controls=True, iteration_count=6, log_iteration_step=0,
+        optimizer=Adam(learning_rate=0.02), fused_chunk=3,
+        save_file_path=save_path, save_iteration_step=2,
+        mesh=make_mesh(8, axis_name="candidate"))
+    with h5py.File(save_path, "r") as f:
+        errors = np.asarray(f["error"])
+        controls_rows = np.asarray(f["controls"])
+        finals = np.asarray(f["final_states"])
+    assert errors.shape == (3,)
+    assert np.all(errors < np.finfo(np.float64).max)
+    # Winner rows are real evaluated iterates: recomputing the final states
+    # from the saved controls reproduces the saved final_states.
+    for save_step in range(3):
+        ev = evolve_schroedinger_discrete(
+            10, hamiltonian, initial_states, 21, costs=costs,
+            controls=controls_rows[save_step])
+        assert np.allclose(ev.final_states, finals[save_step], atol=1e-9)
+        assert abs(ev.error - errors[save_step]) < 1e-9
+    # The winner's best error is at most the last saved row's error.
+    assert result.best_error <= errors[-1] + 1e-12
+
+
+def test_multistart_ensemble_save_rejected():
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    ens_ham = EnsembleLinearHamiltonian(h0, np.stack((a,)), [h0])
+    _, initial_states, costs = _problem()
+    with pytest.raises(ValueError, match="not yet supported"):
+        grape_schroedinger_multistart(
+            1, 21, costs, 10, ens_ham, initial_states, 21, n_starts=8,
+            complex_controls=True,
+            hamiltonian_params=np.zeros((2, 1)),
+            save_file_path="x.h5", save_iteration_step=1)

@@ -198,3 +198,19 @@ def test_resume_without_checkpoint_falls_back_to_best_controls(tmp_path):
 def test_iterations_per_s_reported(tmp_path):
     result = _run(None, iteration_count=4)
     assert result.iterations_per_s > 0
+
+
+def test_resume_same_file_with_larger_iteration_count(tmp_path):
+    """Extending a finished run (resume_from the same file, larger
+    iteration_count) grows the preallocated H5 rows and keeps the old
+    ones."""
+    save_path = str(tmp_path / "00000_grow.h5")
+    first = _run(save_path, iteration_count=6)
+    extended = _run(save_path, iteration_count=12, resume_from=save_path)
+    assert extended.best_error < first.best_error
+    with h5py.File(save_path, "r") as f:
+        errors = np.asarray(f["error"])
+        assert errors.shape == (12,)
+        assert np.all(errors < np.finfo(np.float64).max)
+        assert np.isclose(errors[0], first.errors[0], atol=1e-12)
+        assert int(np.asarray(f["iteration_count"])) == 12
