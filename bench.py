@@ -56,8 +56,11 @@ CONTROL_COUNT = 10
 SYSTEM_EVAL_COUNT = 10_000
 CONTROL_EVAL_COUNT = 10_000
 EVOLUTION_TIME = 100.0
+# Dispatches pipeline on the tunnel (async enqueue); the single end-of-run
+# scalar sync costs ~25 ms, so the timed run must be long enough to
+# amortize it (measured marginal cost at n=20 is within 2% of n→∞).
 WARMUP_ITERATIONS = 2
-TIMED_ITERATIONS = 5
+TIMED_ITERATIONS = 20
 
 
 def _random_hermitian(rng, d):
@@ -230,12 +233,14 @@ def bench_multistart(n_starts=512):
         D, CONTROL_COUNT, 201, 201, 2.0)
 
     def run(iters):
+        # Fixed fused_chunk: the stepwise row buffers are chunk-shaped, so
+        # a shared chunk size means every call reuses one compiled step.
         start = time.perf_counter()
         result = grape_schroedinger_multistart(
             CONTROL_COUNT, 201, costs, 2.0, hamiltonian, initial, 201,
             n_starts=n_starts, complex_controls=True,
             iteration_count=iters, log_iteration_step=0, optimizer=Adam(),
-            fused_chunk=iters)
+            fused_chunk=12)
         return time.perf_counter() - start, result
 
     run(2)                      # compile / cache-warm

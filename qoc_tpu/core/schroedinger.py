@@ -124,6 +124,21 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
                 "".format(initial_states.shape[0], n_state_shards))
         state_sharding = NamedSharding(
             state_mesh, PartitionSpec(state_mesh.axis_names[0]))
+    # Structural eligibility for the fused Pallas chain path (the block
+    # plan differs: its residuals are the f32 prefix planes, not the
+    # complex propagator stack).
+    fused_eligible = (
+        isinstance(hamiltonian, LinearHamiltonian)
+        and pstate.magnus_policy == MagnusPolicy.M2
+        and not (step_costs or collect_intermediates)
+        and cet is not None
+        and (_EXPM_FORWARD["impl"] == "pallas"
+             or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok())))
+    if fused_eligible:
+        from qoc_tpu.ops.chain_pallas import chain_block_plan, chain_fused_ok
+        fused_eligible = chain_fused_ok(d, n_steps)
+    if fused_eligible and time_block_size is None and remat == "auto":
+        time_block_size, remat = chain_block_plan(d, n_steps)
     if remat == "auto":
         # Rematerialize blocks only when storing the backward residuals
         # (~10 propagator-sized buffers per step) would not fit comfortably
@@ -164,14 +179,11 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
     # with an exact custom VJP (ops/chain_pallas.py) — the only HBM traffic
     # is the control weights in and the prefix residuals out.
     fused_chain = None
-    if (isinstance(hamiltonian, LinearHamiltonian)
-            and pstate.magnus_policy == MagnusPolicy.M2
-            and not (step_costs or collect_intermediates)
-            and cet is not None
-            and (_EXPM_FORWARD["impl"] == "pallas"
-                 or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok()))):
+    if fused_eligible:
         from qoc_tpu.ops.chain_pallas import (chain_fused_ok,
                                               make_chain_expm_propagate)
+        # A user-supplied time_block_size below the kernel's segment floor
+        # still disables the fused path.
         if chain_fused_ok(d, block):
             basis = hamiltonian.generator_basis(dt).astype(
                 np_complex_dtype())

@@ -130,15 +130,12 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
     dt = float(pstate.dt)
     n_steps = pstate.system_eval_count - 1
     m_per_shard = n_members // n_shards
-    # Floor of 2*SEGMENTS: below that the chain kernel disables itself
-    # (chain_fused_ok); the 8 MB heuristic only sizes the per-block HBM
-    # buffers, VMEM per grid step is batch-independent.
-    block = min(n_steps, max(16, (8 * 1024 * 1024) // (d * d * m_per_shard)))
 
-    from qoc_tpu.ops.chain_pallas import (chain_fused_ok,
+    from qoc_tpu.ops.chain_pallas import (chain_block_plan, chain_fused_ok,
                                           make_chain_expm_propagate)
-    if not chain_fused_ok(d, block):
+    if not chain_fused_ok(d, n_steps):
         return None
+    block, remat = chain_block_plan(d, n_steps, m_per_shard)
 
     n_blocks = -(-n_steps // block)
     pad = n_blocks * block - n_steps
@@ -149,11 +146,6 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
     basis = hamiltonian.generator_basis(dt).astype(np_complex_dtype())
     fused_chain = make_chain_expm_propagate(basis)
     params = params.astype(np.dtype(rdt).name)
-    # Same auto-remat rule as core/schroedinger.py, scaled by the shard's
-    # member count (the prefix residuals are per member).
-    residual_bytes = (10 * initial_states.itemsize * n_steps * d * d
-                      * m_per_shard)
-    remat = residual_bytes > 4 * 1024 ** 3
 
     def shard_fn(controls, params_shard):
         delta = params_shard.astype(rdt)            # (M_s, P), varying

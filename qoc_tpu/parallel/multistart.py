@@ -233,15 +233,29 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
                 check_vma=check_vma))
         return chunk_cache[length]
 
+    n_carry = len(carry_specs)
+
     def stepwise_step():
+        # One jitted step for the whole run: the row buffers are jit
+        # ARGUMENTS updated in-place at a TRACED index (which crosses the
+        # host boundary as a float — the only transfer dtype the axon
+        # backend accepts). An eager ``buf.at[i].set`` per Python index
+        # would compile a fresh eager op for every distinct i through the
+        # tunnel (~0.8 s/iteration measured on the 512-candidate bench).
         if "step" not in chunk_cache:
-            def shard_step(*carry):
+            def shard_step(*args):
+                carry = args[:n_carry]
+                rowbufs = args[n_carry:-1]
+                i = args[-1].astype(jnp.int32)
                 carry_out, rows = iteration_step(carry)
-                return carry_out + (rows,)
+                rowbufs = tuple(buf.at[i].set(row)
+                                for buf, row in zip(rowbufs, rows))
+                return carry_out + rowbufs
 
             chunk_cache["step"] = jax.jit(shard_map(
-                shard_step, mesh=mesh, in_specs=carry_specs,
-                out_specs=carry_specs + (row_specs,),
+                shard_step, mesh=mesh,
+                in_specs=carry_specs + chunk_row_specs + (P(),),
+                out_specs=carry_specs + chunk_row_specs,
                 check_vma=check_vma))
         return chunk_cache["step"]
 
@@ -298,14 +312,20 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
                 ((n_cand_shards,) + params0.shape[1:], rdt),
                 ((n_cand_shards,) + params0.shape[1:], rdt),
             ][:len(row_specs)]
-            rowbufs = [jnp.zeros((length,) + sh, dtype=dt)
-                       for sh, dt in row_shapes]
+            # Buffers are chunk-sized regardless of this chunk's length so
+            # the step jit compiles ONCE per run (a tail chunk would
+            # otherwise re-specialize the whole graph on the new shape).
+            rowbufs = tuple(
+                jax.device_put(
+                    jnp.zeros((chunk,) + sh, dtype=dt),
+                    jax.sharding.NamedSharding(mesh, spec))
+                for (sh, dt), spec in zip(row_shapes, chunk_row_specs))
             for i in range(length):
-                out = step(*carry)
-                carry, step_rows = out[:-1], out[-1]
-                rowbufs = [buf.at[i].set(row)
-                           for buf, row in zip(rowbufs, step_rows)]
-            rows = device_get(tuple(rowbufs))
+                out = step(*carry, *rowbufs,
+                           jnp.asarray(float(i), dtype=rdt))
+                carry, rowbufs = out[:n_carry], out[n_carry:]
+            rows = tuple(np.asarray(buf)[:length]
+                         for buf in device_get(rowbufs))
         err_rows = np.asarray(rows[0])                 # (length, n_starts)
         meter.tick(length * n_starts)
         for j in range(length):
@@ -489,15 +509,12 @@ def _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble,
     dt = float(pstate.dt)
     n_steps = pstate.system_eval_count - 1
     n_chains = c_per_shard * m_per_shard
-    # Floor of 2*SEGMENTS: below that the chain kernel disables itself
-    # (chain_fused_ok); the 8 MB heuristic only sizes the per-block HBM
-    # buffers, VMEM per grid step is batch-independent.
-    block = min(n_steps, max(16, (8 * 1024 * 1024) // (d * d * n_chains)))
 
-    from qoc_tpu.ops.chain_pallas import (chain_fused_ok,
+    from qoc_tpu.ops.chain_pallas import (chain_block_plan, chain_fused_ok,
                                           make_chain_expm_propagate)
-    if not chain_fused_ok(d, block):
+    if not chain_fused_ok(d, n_steps):
         return None
+    block, remat = chain_block_plan(d, n_steps, n_chains)
 
     n_blocks = -(-n_steps // block)
     pad = n_blocks * block - n_steps
@@ -508,9 +525,6 @@ def _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble,
     fused_chain = make_chain_expm_propagate(basis)
     if params is not None:
         params = params.astype(np.dtype(rdt).name)
-    residual_bytes = (10 * initial_states.itemsize * n_steps * d * d
-                      * n_chains)
-    remat = residual_bytes > 4 * 1024 ** 3
 
     def shard_loss_sum(clipped_flat):
         controls = jax.vmap(

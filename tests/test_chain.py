@@ -221,3 +221,39 @@ def test_fused_lindblad_matches_generic_path(interpreted_pallas):
     assert abs(err_fused - float(err_gen)) < 1e-4
     assert np.abs(g_fused - g_gen).max() < 1e-3 * max(
         1.0, np.abs(g_gen).max())
+
+
+def test_chain_block_plan():
+    """Block/remat plan: padded-plane HBM accounting, segment floor, block
+    cap, remat threshold (ops/chain_pallas.chain_block_plan)."""
+    from qoc_tpu.ops.chain_pallas import chain_block_plan
+
+    # Headline-class problem (d=64, 10^4 steps, one chain): ~n_steps/6
+    # blocks, residuals tiny -> no remat.
+    block, remat = chain_block_plan(64, 10_000)
+    assert block == -(-10_000 // 6)
+    assert not remat
+
+    # 512-chain multistart-class problem: the 512 MB/block cap binds at the
+    # 2*SEGMENTS floor; padded residuals 64 KB * 512 * 200 = 6.4 GB < 8 GB
+    # -> residuals stored (measured faster than remat).
+    block, remat = chain_block_plan(64, 200, n_chains=512)
+    assert block == 16
+    assert not remat
+
+    # Same chains, 2x the steps: padded residuals 12.8 GB -> remat.
+    block, remat = chain_block_plan(64, 400, n_chains=512)
+    assert remat
+
+    # Short meshes floor at the kernel's 2*SEGMENTS requirement, never
+    # exceeding n_steps.
+    block, _ = chain_block_plan(64, 20)
+    assert block == 16
+    block, _ = chain_block_plan(64, 16)
+    assert block == 16
+
+    # Lane padding: d=64 planes pad to 128 lanes (2x), d=128 do not -- the
+    # d=128 plan flips to remat at exactly 2x the d=64 step budget.
+    _, remat_64 = chain_block_plan(64, 300, n_chains=512)
+    _, remat_128 = chain_block_plan(128, 300, n_chains=256)
+    assert remat_64 == remat_128

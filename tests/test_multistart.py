@@ -131,6 +131,32 @@ def test_multistart_ensemble_fused_matches_generic(interpreted_pallas):
     assert np.allclose(fused.errors, generic.errors, atol=1e-4)
 
 
+def test_multistart_stepwise_matches_scan(tmp_path):
+    """The axon-tunnel execution mode (jitted single step with device row
+    buffers indexed at a traced float) is exactly the scan mode, including
+    the H5 winner rows."""
+    import h5py
+    hamiltonian, initial_states, costs = _problem()
+    kwargs = dict(n_starts=16, complex_controls=True, iteration_count=12,
+                  log_iteration_step=0, optimizer=Adam(learning_rate=0.02),
+                  system_eval_count=21, fused_chunk=5, save_iteration_step=3,
+                  mesh=make_mesh(8, axis_name="candidate"))
+    results, h5 = {}, {}
+    for mode in ("scan", "stepwise"):
+        path = str(tmp_path / "00000_{}.h5".format(mode))
+        results[mode] = grape_schroedinger_multistart(
+            1, 21, costs, 10, hamiltonian, initial_states,
+            fused_mode=mode, save_file_path=path, **kwargs)
+        with h5py.File(path, "r") as f:
+            h5[mode] = (np.asarray(f["error"]), np.asarray(f["controls"]))
+    assert np.allclose(results["stepwise"].errors, results["scan"].errors,
+                       atol=1e-12)
+    assert np.allclose(results["stepwise"].best_controls,
+                       results["scan"].best_controls, atol=1e-12)
+    assert np.allclose(h5["stepwise"][0], h5["scan"][0], atol=1e-12)
+    assert np.allclose(h5["stepwise"][1], h5["scan"][1], atol=1e-12)
+
+
 def test_multistart_min_error_terminates_early():
     hamiltonian, initial_states, costs = _problem()
     result = grape_schroedinger_multistart(
