@@ -113,6 +113,14 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     costs = list(costs)
     if optimizer is None:
         optimizer = Adam()
+    if not getattr(optimizer, "supports_fused", False):
+        raise ValueError(
+            "grape_schroedinger_multistart requires an optimizer with a "
+            "traced update rule (optimizer.supports_fused, e.g. Adam/SGD): "
+            "every candidate's update runs device-resident inside the "
+            "sharded iteration step. {} is host-loop only — run it through "
+            "grape_schroedinger_discrete per candidate instead."
+            "".format(type(optimizer).__name__))
     ensemble = hamiltonian_params is not None
     if mesh is None:
         if ensemble:
@@ -174,7 +182,8 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
         c_per_shard, n_ens_shards, vary_axes, check_vma)
 
     def iteration_step(carry):
-        params, opt_state, done, best_err, best_flat = carry
+        (params, opt_state, done, best_err, best_flat, best_iter,
+         it) = carry
         controls = jax.vmap(lambda p: slap_controls_jax(cc, p, shape))(params)
         clipped = jax.vmap(
             lambda c: clip_control_norms_jax(c, jnp.asarray(mcn)))(controls)
@@ -190,33 +199,37 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
         improved = valid & (errors < best_err)
         best_err = jnp.where(improved, errors, best_err)
         best_flat = jnp.where(improved[:, None], clipped_flat, best_flat)
+        best_iter = jnp.where(improved, it, best_iter)
         new_done = done | (errors <= min_error)
         freeze = lambda new, old: jnp.where(
             new_done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)
         params = jax.tree_util.tree_map(freeze, new_params, params)
         opt_state = jax.tree_util.tree_map(freeze, new_opt_state, opt_state)
-        carry = (params, opt_state, new_done, best_err, best_flat)
+        carry = (params, opt_state, new_done, best_err, best_flat,
+                 best_iter, it + 1)
+        active = valid.astype(rdt)
         if collect_saves:
             # This iteration's SHARD-local winner (evaluated iterate, like
             # run_grape's H5 rows); the global argmin happens on host.
             local = jnp.argmin(errors)
-            rows = (errors, errors[local][None], clipped_flat[local][None],
-                    grads[local][None])
+            rows = (errors, active, errors[local][None],
+                    clipped_flat[local][None], grads[local][None])
         else:
-            rows = (errors,)
+            rows = (errors, active)
         return carry, rows
 
     # ---- sharded chunk execution ---------------------------------------- -
     carry_specs = (P(CANDIDATE_AXIS), _opt_specs(optimizer),
-                   P(CANDIDATE_AXIS), P(CANDIDATE_AXIS), P(CANDIDATE_AXIS))
+                   P(CANDIDATE_AXIS), P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
+                   P(CANDIDATE_AXIS), P())
 
     chunk_cache = {}
 
     if collect_saves:
-        row_specs = (P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
+        row_specs = (P(CANDIDATE_AXIS), P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
                      P(CANDIDATE_AXIS, None), P(CANDIDATE_AXIS, None))
     else:
-        row_specs = (P(CANDIDATE_AXIS),)
+        row_specs = (P(CANDIDATE_AXIS), P(CANDIDATE_AXIS))
     chunk_row_specs = tuple(P(*((None,) + spec)) for spec in row_specs)
 
     def chunked(length):
@@ -283,10 +296,13 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
         best_err = jnp.full((n_starts,),
                             np.finfo(np.dtype(rdt).name).max, dtype=rdt)
         best_flat = jnp.zeros_like(params_)
-        return opt_state, done, best_err, best_flat
+        best_iter = jnp.zeros((n_starts,), dtype=jnp.int32)
+        it = jnp.zeros((), dtype=jnp.int32)
+        return opt_state, done, best_err, best_flat, best_iter, it
 
-    opt_state, done, best_err, best_flat = make_initial_carry(params)
-    carry = (params, opt_state, done, best_err, best_flat)
+    opt_state, done, best_err, best_flat, best_iter, it = \
+        make_initial_carry(params)
+    carry = (params, opt_state, done, best_err, best_flat, best_iter, it)
 
     states_fn = None
     if collect_saves:
@@ -308,6 +324,7 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
             step = stepwise_step()
             row_shapes = [
                 ((n_starts,), rdt),
+                ((n_starts,), rdt),
                 ((n_cand_shards,), rdt),
                 ((n_cand_shards,) + params0.shape[1:], rdt),
                 ((n_cand_shards,) + params0.shape[1:], rdt),
@@ -327,7 +344,12 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
             rows = tuple(np.asarray(buf)[:length]
                          for buf in device_get(rowbufs))
         err_rows = np.asarray(rows[0])                 # (length, n_starts)
-        meter.tick(length * n_starts)
+        active_rows = np.asarray(rows[1])              # (length, n_starts)
+        # Only candidates that actually ran count toward the rate (frozen
+        # min_error-done candidates would inflate iterations_per_s).
+        n_active = int(np.sum(active_rows > 0.5))
+        if n_active:
+            meter.tick(n_active)
         for j in range(length):
             it = iteration + j
             if (pstate.should_log
@@ -337,9 +359,9 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
                       "".format(it, float(np.min(err_rows[j])),
                                 float(np.median(err_rows[j]))))
             if collect_saves and _is_save_iteration(pstate, it):
-                werrs, wflats, wgrads = (np.asarray(rows[1]),
-                                         np.asarray(rows[2]),
-                                         np.asarray(rows[3]))
+                werrs, wflats, wgrads = (np.asarray(rows[2]),
+                                         np.asarray(rows[3]),
+                                         np.asarray(rows[4]))
                 shard_winner = int(np.argmin(werrs[j]))
                 flat = wflats[j, shard_winner]
                 controls_cf = slap_controls(cc, flat, shape)
@@ -356,16 +378,19 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
         if np.min(err_rows) <= min_error and min_error > 0:
             break
 
-    _, _, _, best_err, best_flat = carry
+    _, _, _, best_err, best_flat, best_iter, _ = carry
     errors = np.asarray(device_get(best_err))
     winner = int(np.argmin(errors))
     winning_flat = np.asarray(device_get(best_flat))[winner]
     result.best_controls = slap_controls(cc, winning_flat, shape)
     result.best_error = float(errors[winner])
-    result.best_iteration = iteration - 1
+    # The winner's actual best iteration (tracked in the carry like the
+    # fused single-run path), not the last iteration run.
+    result.best_iteration = int(np.asarray(device_get(best_iter))[winner])
     result.errors = errors
     result.iteration_count_ran = iteration
     result.iterations_per_s = meter.mean_rate
+    result.iterations_per_s_steady = meter.steady_rate
     # One forward evaluation of the winner reconstructs its final states
     # (per member for robust multistart) — cheaper than carrying state
     # buffers for every candidate through the optimization.

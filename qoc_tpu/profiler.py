@@ -27,6 +27,8 @@ class RateMeter:
         self._start = None
         self._last = None
         self._ewma_rate = None
+        self._first_tick = None
+        self._first_count = 0
 
     def start(self):
         self._start = self._last = time.perf_counter()
@@ -40,6 +42,9 @@ class RateMeter:
         dt = now - self._last
         self._last = now
         self.count += n
+        if self._first_tick is None:
+            self._first_tick = now
+            self._first_count = n
         rate = n / dt if dt > 0 else float("inf")
         if self._ewma_rate is None:
             self._ewma_rate = rate
@@ -60,6 +65,18 @@ class RateMeter:
             return 0.0
         elapsed = self._last - self._start
         return self.count / elapsed if elapsed > 0 else float("inf")
+
+    @property
+    def steady_rate(self):
+        """Mean events/s excluding the interval up to the FIRST tick — the
+        first chunk carries tracing/compilation, so this is the honest
+        steady-state rate of a warm run. Falls back to ``mean_rate`` when
+        only one tick was recorded."""
+        if self._first_tick is None or self.count <= self._first_count:
+            return self.mean_rate
+        elapsed = self._last - self._first_tick
+        steady_count = self.count - self._first_count
+        return steady_count / elapsed if elapsed > 0 else float("inf")
 
 
 @contextlib.contextmanager

@@ -198,6 +198,36 @@ def test_multistart_h5_saving(tmp_path):
     assert result.best_error <= errors[-1] + 1e-12
 
 
+def test_multistart_rejects_host_only_optimizer():
+    from qoc_tpu.optim import LBFGSB
+    hamiltonian, initial_states, costs = _problem()
+    with pytest.raises(ValueError, match="LBFGSB is host-loop only"):
+        grape_schroedinger_multistart(
+            1, 21, costs, 10, hamiltonian, initial_states, 21, n_starts=8,
+            complex_controls=True, optimizer=LBFGSB())
+
+
+def test_multistart_best_iteration_matches_single_run():
+    """A 1-candidate multistart is exactly grape_schroedinger_discrete
+    (candidate 0 seeds with the reference flat controls), including the
+    tracked best iteration."""
+    from qoc_tpu import grape_schroedinger_discrete
+    hamiltonian, initial_states, costs = _problem()
+    kwargs = dict(complex_controls=True, iteration_count=12,
+                  log_iteration_step=0, system_eval_count=21)
+    multi = grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states, n_starts=1,
+        optimizer=Adam(learning_rate=0.02),
+        mesh=make_mesh(1, axis_name="candidate"), fused_chunk=5, **kwargs)
+    single = grape_schroedinger_discrete(
+        1, 21, costs, 10, hamiltonian, initial_states,
+        optimizer=Adam(learning_rate=0.02), **kwargs)
+    assert abs(multi.best_error - single.best_error) < 1e-12
+    assert multi.best_iteration == single.best_iteration
+    assert np.allclose(multi.best_controls, single.best_controls,
+                       atol=1e-12)
+
+
 def test_multistart_ensemble_save_rejected():
     h0 = np.asarray(SIGMA_Z) / 2
     a = get_annihilation_operator(2)
