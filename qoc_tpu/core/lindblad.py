@@ -49,10 +49,11 @@ from qoc_tpu.optim import Adam
 __all__ = ["evolve_lindblad_discrete", "grape_lindblad_discrete"]
 
 
-def _make_rhs(pstate, controls, cet):
+def _make_rhs(pstate, controls, cet, hamiltonian_override=None):
     """Time-dependent Lindbladian RHS closure (reference
     lindbladdiscrete.py:444-495)."""
-    hamiltonian = pstate.hamiltonian
+    hamiltonian = (hamiltonian_override if hamiltonian_override is not None
+                   else pstate.hamiltonian)
     lindblad_data = pstate.lindblad_data
 
     def rhs(time, densities):
@@ -76,13 +77,24 @@ def _make_rhs(pstate, controls, cet):
 
 
 def build_lindblad_loss(pstate, collect_intermediates=False,
-                        differentiable=True, remat="auto"):
+                        differentiable=True, remat="auto", log_path=False,
+                        hamiltonian_override=None, pvary_axes=None,
+                        density_mesh=None):
     """Build the loss: controls -> (error, final_densities[, intermediates]).
 
     Mirrors _evaluate_lindblad_discrete (reference lindbladdiscrete.py:
     357-441): per system_eval interval, integrate the master equation with
     the configured method, accumulating step costs at cost-mesh points;
     non-step costs applied to the final densities.
+
+    ``hamiltonian_override`` substitutes the pstate's Hamiltonian callable
+    (used by the ensemble path to close each member's parameters in);
+    ``pvary_axes`` marks the density carry as varying over the given mesh
+    axes when the loss runs inside ``shard_map``; ``density_mesh`` shards
+    the independent density-batch axis K over the first axis of the given
+    ``jax.sharding.Mesh`` via a sharding constraint (psum-free data
+    parallelism — the Lindblad analog of core/schroedinger.py's
+    ``state_mesh``, SURVEY.md §2.4 row 1).
     """
     _check_interpolation(pstate.interpolation_policy)
     rdt = real_dtype()
@@ -103,6 +115,16 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
     max_steps = getattr(pstate, "rkdp5_max_steps", 16384)
     hilbert_size = initial_densities.shape[-1]
     density_count = initial_densities.shape[0]
+    density_sharding = None
+    if density_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_density_shards = density_mesh.devices.size
+        if density_count % n_density_shards != 0:
+            raise ValueError(
+                "density count {} must be divisible by the density mesh "
+                "size {}".format(density_count, n_density_shards))
+        density_sharding = NamedSharding(
+            density_mesh, PartitionSpec(density_mesh.axis_names[0]))
     if remat == "auto":
         # See core/schroedinger.py: store residuals when they fit in HBM.
         dim = (hilbert_size * hilbert_size
@@ -115,7 +137,9 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
     if method == LindbladMethod.MAGNUS_EXPM:
         magnus = _magnus_fn(getattr(pstate, "magnus_policy_",
                                     MagnusPolicy.M2))
-        hamiltonian = pstate.hamiltonian
+        hamiltonian = (hamiltonian_override
+                       if hamiltonian_override is not None
+                       else pstate.hamiltonian)
         lindblad_data = pstate.lindblad_data
 
         def make_superop_generator(controls):
@@ -154,16 +178,24 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
         # superoperator build + expm + ordered product run in one Pallas
         # kernel with an exact custom VJP.
         fused_chain = None
-        if (isinstance(hamiltonian, LinearHamiltonian)
-                and isinstance(lindblad_data, (ConstantLindblad,
-                                               type(None)))
-                and getattr(pstate, "magnus_policy_", MagnusPolicy.M2)
-                == MagnusPolicy.M2
-                and not need_trajectory
-                and cet is not None
-                and (_EXPM_FORWARD["impl"] == "pallas"
-                     or (_EXPM_FORWARD["impl"] == "auto"
-                         and _pallas_ok()))):
+        fused_why = None
+        if not isinstance(hamiltonian, LinearHamiltonian):
+            fused_why = "hamiltonian is not a LinearHamiltonian"
+        elif not isinstance(lindblad_data, (ConstantLindblad, type(None))):
+            fused_why = "lindblad_data is not a ConstantLindblad"
+        elif (getattr(pstate, "magnus_policy_", MagnusPolicy.M2)
+                != MagnusPolicy.M2):
+            fused_why = "magnus policy {} (fused chain needs M2)".format(
+                getattr(pstate, "magnus_policy_", MagnusPolicy.M2))
+        elif need_trajectory:
+            fused_why = ("step costs / intermediate collection require "
+                         "per-step densities")
+        elif cet is None:
+            fused_why = "no controls"
+        elif not (_EXPM_FORWARD["impl"] == "pallas"
+                  or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok())):
+            fused_why = "Pallas expm unavailable on this backend"
+        else:
             from qoc_tpu.ops.chain_pallas import (chain_fused_ok,
                                                   make_chain_expm_propagate)
             if chain_fused_ok(sop_dim, block):
@@ -172,6 +204,18 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
                 sop_basis = hamiltonian.superoperator_basis(
                     dt, diss, lops).astype(np_complex_dtype())
                 fused_chain = make_chain_expm_propagate(sop_basis)
+            else:
+                fused_why = ("superoperator size outside kernel limits "
+                             "(padded d^2 > 256 or block below the segment "
+                             "floor)")
+        if log_path:
+            if fused_chain is not None:
+                print("qoc_tpu: Lindblad propagation path = fused Pallas "
+                      "superoperator chain kernel (d^2={}, block={})."
+                      "".format(sop_dim, block))
+            else:
+                print("qoc_tpu: Lindblad propagation path = blocked batched "
+                      "Magnus+expm superoperators ({}).".format(fused_why))
 
         def fused_weights(controls, times):
             c_mid = jax.vmap(
@@ -249,7 +293,14 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
                   valid.reshape(n_blocks, block))
             vec0 = jnp.asarray(
                 initial_densities.reshape(density_count, sop_dim))
-            carry = (vec0, jnp.asarray(0.0, dtype=rdt))
+            error0 = jnp.asarray(0.0, dtype=rdt)
+            if density_sharding is not None:
+                vec0 = jax.lax.with_sharding_constraint(vec0,
+                                                        density_sharding)
+            if pvary_axes:
+                vec0 = lax.pcast(vec0, pvary_axes, to="varying")
+                error0 = lax.pcast(error0, pvary_axes, to="varying")
+            carry = (vec0, error0)
             (vec, error), intermediates = lax.scan(body_fn, carry, xs)
             densities = vec.reshape(density_count, hilbert_size,
                                     hilbert_size)
@@ -268,11 +319,16 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
 
         return loss
     else:
+        if log_path:
+            print("qoc_tpu: Lindblad propagation path = adaptive RKDP5 "
+                  "integrator (reference-parity; "
+                  "method=LindbladMethod.MAGNUS_EXPM is the TPU fast "
+                  "path).")
         integrate = (integrate_rkdp5_scan if differentiable
                      else integrate_rkdp5)
 
         def advance(densities, controls, time):
-            rhs = _make_rhs(pstate, controls, cet)
+            rhs = _make_rhs(pstate, controls, cet, hamiltonian_override)
             x_eval = jnp.reshape(time + dt, (1,))
             kwargs = {"atol": atol, "rtol": rtol}
             if differentiable:
@@ -296,7 +352,15 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
 
         body_fn = jax.checkpoint(body) if remat else body
         ks = jnp.arange(1, system_eval_count)
-        carry = (initial_densities, jnp.asarray(0.0, dtype=rdt))
+        dens0 = jnp.asarray(initial_densities)
+        error0 = jnp.asarray(0.0, dtype=rdt)
+        if density_sharding is not None:
+            dens0 = jax.lax.with_sharding_constraint(dens0,
+                                                     density_sharding)
+        if pvary_axes:
+            dens0 = lax.pcast(dens0, pvary_axes, to="varying")
+            error0 = lax.pcast(error0, pvary_axes, to="varying")
+        carry = (dens0, error0)
         (densities, error), intermediates = lax.scan(body_fn, carry, ks)
         for cost in costs:
             if not cost.requires_step_evaluation:
@@ -317,14 +381,17 @@ def evolve_lindblad_discrete(evolution_time, initial_densities,
                              lindblad_data=None, save_file_path=None,
                              save_intermediate_densities=False,
                              method=LindbladMethod.RKDP5, atol=1e-12,
-                             rtol=0.0, magnus_policy=MagnusPolicy.M2):
+                             rtol=0.0, magnus_policy=MagnusPolicy.M2,
+                             mesh=None):
     """Evolve density matrices under the Lindblad equation and compute the
     total cost.
 
     API parity: reference lindbladdiscrete.py:31-107 (the trailing
-    ``method``/``atol``/``rtol``/``magnus_policy`` kwargs are qoc_tpu
-    extensions). Accuracy of the default RKDP5 path is governed by ``atol``,
-    not ``system_eval_count`` (reference lindbladdiscrete.py:52-55).
+    ``method``/``atol``/``rtol``/``magnus_policy``/``mesh`` kwargs are
+    qoc_tpu extensions). Accuracy of the default RKDP5 path is governed by
+    ``atol``, not ``system_eval_count`` (reference lindbladdiscrete.py:
+    52-55). ``mesh`` shards the independent density-batch axis K over the
+    given device mesh's first axis (see ``build_lindblad_loss``).
     """
     costs = list(costs)
     control_eval_count = controls.shape[0] if controls is not None else 0
@@ -341,7 +408,8 @@ def evolve_lindblad_discrete(evolution_time, initial_densities,
 
     collect = save_intermediate_densities
     loss = build_lindblad_loss(pstate, collect_intermediates=collect,
-                               differentiable=False, remat=False)
+                               differentiable=False, remat=False,
+                               density_mesh=mesh)
     loss = jax.jit(loss)
     if controls is not None:
         controls = np.asarray(controls).astype(np_complex_dtype())
@@ -373,13 +441,15 @@ def grape_lindblad_discrete(control_count, control_eval_count, costs,
                             method=LindbladMethod.RKDP5, atol=1e-12,
                             rtol=0.0, rkdp5_max_steps=16384,
                             magnus_policy=MagnusPolicy.M2, fused_chunk=None,
-                            fused_mode=None):
+                            fused_mode=None, mesh=None):
     """Optimize time-discrete controls for Lindblad evolution (GRAPE).
 
     API parity: reference lindbladdiscrete.py:110-256 (trailing kwargs are
     qoc_tpu extensions). The RKDP5 GRAPE path bounds each interval's adaptive
     loop at ``rkdp5_max_steps`` accept/reject attempts (reverse-mode needs a
     static bound); raise it if the integrator reports unconverged intervals.
+    ``mesh`` shards the independent density-batch axis K over the given
+    device mesh's first axis (see ``build_lindblad_loss``).
     """
     costs = list(costs)
     if optimizer is None:
@@ -405,10 +475,10 @@ def grape_lindblad_discrete(control_count, control_eval_count, costs,
         pstate.fused_mode = fused_mode
     if resume_from is not None:
         apply_resume(pstate, resume_from)
+    loss_controls = build_lindblad_loss(pstate, log_path=pstate.should_log,
+                                        density_mesh=mesh)
     pstate.log_and_save_initial()
     result = GrapeLindbladResult()
-
-    loss_controls = build_lindblad_loss(pstate)
     cc = complex_controls
     shape = pstate.controls_shape
 
@@ -420,7 +490,7 @@ def grape_lindblad_discrete(control_count, control_eval_count, costs,
     if pstate.save_intermediate_densities_:
         collect_loss = build_lindblad_loss(
             pstate, collect_intermediates=True, differentiable=False,
-            remat=False)
+            remat=False, density_mesh=mesh)
         collect_fn = jax.jit(
             lambda flat: collect_loss(slap_controls_jax(cc, flat, shape))[2])
         intermediate_saver = pstate.save_intermediate_densities

@@ -62,7 +62,7 @@ def _check_interpolation(interpolation_policy):
 def build_schroedinger_loss(pstate, collect_intermediates=False,
                             remat="auto", hamiltonian_override=None,
                             pvary_axes=None, time_block_size=None,
-                            state_mesh=None):
+                            state_mesh=None, log_path=False):
     """Build the jitted-to-be loss: controls (complex (E, C) or None) ->
     (error, final_states[, intermediate_states]).
 
@@ -126,19 +126,39 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
             state_mesh, PartitionSpec(state_mesh.axis_names[0]))
     # Structural eligibility for the fused Pallas chain path (the block
     # plan differs: its residuals are the f32 prefix planes, not the
-    # complex propagator stack).
-    fused_eligible = (
-        isinstance(hamiltonian, LinearHamiltonian)
-        and pstate.magnus_policy == MagnusPolicy.M2
-        and not (step_costs or collect_intermediates)
-        and cet is not None
-        and (_EXPM_FORWARD["impl"] == "pallas"
-             or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok())))
-    if fused_eligible:
-        from qoc_tpu.ops.chain_pallas import chain_block_plan, chain_fused_ok
-        fused_eligible = chain_fused_ok(d, n_steps)
-    if fused_eligible and time_block_size is None and remat == "auto":
-        time_block_size, remat = chain_block_plan(d, n_steps)
+    # complex propagator stack). ``fused_why`` names the disqualifier for
+    # the one-time path log — silent 10x regressions (step costs, M4,
+    # d > 256, tiny blocks) cost users real debugging time otherwise.
+    fused_why = None
+    if not isinstance(hamiltonian, LinearHamiltonian):
+        fused_why = "hamiltonian is not a LinearHamiltonian"
+    elif pstate.magnus_policy != MagnusPolicy.M2:
+        fused_why = "magnus policy {} (fused chain needs M2)".format(
+            pstate.magnus_policy)
+    elif step_costs:
+        fused_why = "step costs require per-step states"
+    elif collect_intermediates:
+        fused_why = "intermediate-state collection requires per-step states"
+    elif cet is None:
+        fused_why = "no controls"
+    elif not (_EXPM_FORWARD["impl"] == "pallas"
+              or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok())):
+        fused_why = "Pallas expm unavailable on this backend"
+    else:
+        from qoc_tpu.ops.chain_pallas import chain_fused_ok
+        if not chain_fused_ok(d, n_steps):
+            fused_why = ("problem size outside kernel limits (padded "
+                         "d > 256 or fewer than 16 steps)")
+    fused_eligible = fused_why is None
+    if fused_eligible and remat == "auto":
+        # The fused path's remat decision always comes from the kernel's
+        # padded-plane accounting, whether or not the user picked the block
+        # size themselves (the complex-propagator heuristic below would be
+        # over-conservative for the same workload).
+        from qoc_tpu.ops.chain_pallas import chain_block_plan
+        plan_block, remat = chain_block_plan(d, n_steps)
+        if time_block_size is None:
+            time_block_size = plan_block
     if remat == "auto":
         # Rematerialize blocks only when storing the backward residuals
         # (~10 propagator-sized buffers per step) would not fit comfortably
@@ -188,6 +208,23 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
             basis = hamiltonian.generator_basis(dt).astype(
                 np_complex_dtype())
             fused_chain = make_chain_expm_propagate(basis)
+        else:
+            fused_why = ("time_block_size {} below the fused kernel's "
+                         "segment floor".format(block))
+    if log_path:
+        if fused_chain is not None:
+            print("qoc_tpu: propagation path = fused Pallas chain kernel "
+                  "(LinearHamiltonian, M2, d={}, block={}, remat={})."
+                  "".format(d, block, bool(remat)))
+        else:
+            expm_impl = ("Pallas expm"
+                         if (_EXPM_FORWARD["impl"] == "pallas"
+                             or (_EXPM_FORWARD["impl"] == "auto"
+                                 and _pallas_ok()))
+                         else "XLA Taylor expm")
+            print("qoc_tpu: propagation path = blocked batched Magnus + {} "
+                  "({}). The fused chain kernel is typically ~10x faster "
+                  "when applicable.".format(expm_impl, fused_why))
 
     def fused_weights(controls, times):
         """W rows [1, Re c_1, Im c_1, ...] at the step midpoints."""
@@ -398,12 +435,12 @@ def grape_schroedinger_discrete(control_count, control_eval_count, costs,
         pstate.fused_mode = fused_mode
     if resume_from is not None:
         apply_resume(pstate, resume_from)
-    pstate.log_and_save_initial()
-    result = GrapeSchroedingerResult()
-
     loss_controls = build_schroedinger_loss(pstate,
                                             time_block_size=time_block_size,
-                                            state_mesh=mesh)
+                                            state_mesh=mesh,
+                                            log_path=pstate.should_log)
+    pstate.log_and_save_initial()
+    result = GrapeSchroedingerResult()
     cc = complex_controls
     shape = pstate.controls_shape
 

@@ -61,6 +61,11 @@ class H5Checkpointer:
         initial = (pstate.initial_states if is_schroedinger
                    else pstate.initial_densities)
         initial = np.asarray(initial)
+        # Ensemble drivers stack a member axis onto the evolved states /
+        # densities: (n_members, K, d, ...) instead of the reference's
+        # (K, d, ...) (qoc_tpu extension; the reference has no ensembles).
+        evolved_shape = tuple(getattr(pstate, "evolved_shape", initial.shape))
+        ensemble_params = getattr(pstate, "ensemble_params", None)
         evolved_key = "final_states" if is_schroedinger else "final_densities"
         intermediate_key = ("intermediate_states" if is_schroedinger
                             else "intermediate_densities")
@@ -82,16 +87,18 @@ class H5Checkpointer:
                 [np.bytes_("{}".format(cost)) for cost in pstate.costs])
             f["error"] = np.repeat(np.finfo(np.float64).max, save_count)
             f["evolution_time"] = pstate.evolution_time
-            f[evolved_key] = np.zeros((save_count,) + initial.shape,
+            f[evolved_key] = np.zeros((save_count,) + evolved_shape,
                                       dtype=np.complex128)
             f["grads"] = np.zeros(
                 (save_count, pstate.control_eval_count, pstate.control_count),
                 dtype=initial_controls.dtype)
+            if ensemble_params is not None:
+                f["hamiltonian_params"] = np.asarray(ensemble_params)
             f["initial_controls"] = initial_controls
             f[initial_key] = initial
             if save_intermediate:
                 f[intermediate_key] = np.zeros(
-                    (save_count, pstate.system_eval_count) + initial.shape,
+                    (save_count, pstate.system_eval_count) + evolved_shape,
                     dtype=np.complex128)
             f["interpolation_policy"] = "{}".format(pstate.interpolation_policy)
             f["iteration_count"] = pstate.iteration_count

@@ -129,16 +129,28 @@ def chain_block_plan(d, n_steps, n_chains=1):
     cap = (512 * 1024 * 1024) // step_bytes
     block = min(n_steps, max(2 * _SEGMENTS, min(-(-n_steps // 6), cap)))
     remat = step_bytes * n_steps > 8 * 1024 ** 3
+    if cap < 2 * _SEGMENTS:
+        # The kernel's segment floor forces a block larger than the
+        # per-block budget (possible only at big d x many chains); remat
+        # bounds the OOM exposure to one block's temps. chain_fused_ok
+        # reports such configs ineligible — this is a defensive fallback
+        # for callers that pass a block size directly.
+        remat = True
     return block, remat
 
 
-def chain_fused_ok(d, n_steps):
+def chain_fused_ok(d, n_steps, n_chains=1):
     """Whether the fused chain kernel supports this problem size: the
-    embedded basis stack and S accumulators must fit VMEM comfortably."""
+    embedded basis stack and S accumulators must fit VMEM comfortably, and
+    the minimum (2 segments x chains) block's plane temps must fit the
+    per-block HBM budget (see chain_block_plan)."""
     if not _HAVE_PALLAS:  # pragma: no cover
         return False
     dp = -(-d // _ALIGN) * _ALIGN
-    return dp <= 256 and n_steps >= 2 * _SEGMENTS
+    step_bytes = 8 * dp * max(dp, 128) * max(n_chains, 1)
+    cap = (512 * 1024 * 1024) // step_bytes
+    return (dp <= 256 and n_steps >= 2 * _SEGMENTS
+            and cap >= 2 * _SEGMENTS)
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ from qoc_tpu.config import (MATMUL_PRECISION, np_complex_dtype,
 from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.graperunner import run_grape
 from qoc_tpu.core.schroedinger import build_schroedinger_loss
+from qoc_tpu.io.resume import apply_resume
 from qoc_tpu.models import (
     EnsembleLinearHamiltonian,
     GrapeSchroedingerDiscreteState,
@@ -39,7 +40,8 @@ __all__ = ["grape_schroedinger_ensemble", "build_ensemble_loss"]
 
 
 def build_ensemble_loss(pstate, hamiltonian, hamiltonian_params, mesh,
-                        axis_name=ENSEMBLE_AXIS, check_vma=True):
+                        axis_name=ENSEMBLE_AXIS, check_vma=True,
+                        time_block_size=None, log_path=False):
     """Build the psum-reduced ensemble loss.
 
     ``hamiltonian(params_row, controls_t, time) -> (d, d)`` defines one
@@ -66,17 +68,26 @@ def build_ensemble_loss(pstate, hamiltonian, hamiltonian_params, mesh,
             "ensemble member count {} must be divisible by the mesh axis "
             "size {}".format(n_members, n_shards))
 
-    fused = _build_fused_ensemble_loss(pstate, hamiltonian,
-                                       hamiltonian_params, mesh, axis_name,
-                                       n_members, n_shards, check_vma)
+    fused, why = _build_fused_ensemble_loss(
+        pstate, hamiltonian, hamiltonian_params, mesh, axis_name, n_members,
+        n_shards, check_vma, time_block_size)
     if fused is not None:
+        if log_path:
+            print("qoc_tpu: ensemble propagation path = fused Pallas chain "
+                  "kernel (member-batched, {} members x {} shards)."
+                  "".format(n_members, n_shards))
         return fused
+    if log_path:
+        print("qoc_tpu: ensemble propagation path = generic batched "
+              "Magnus+expm under vmap ({}). The fused chain kernel is "
+              "typically ~10x faster when applicable.".format(why))
 
     def member_loss(controls, params_row):
         override = lambda c, t: hamiltonian(params_row, c, t)
         loss = build_schroedinger_loss(
             pstate, hamiltonian_override=override,
-            pvary_axes=(axis_name,) if check_vma else None)
+            pvary_axes=(axis_name,) if check_vma else None,
+            time_block_size=time_block_size)
         return loss(controls)
 
     def shard_fn(controls, params_shard):
@@ -97,9 +108,10 @@ def build_ensemble_loss(pstate, hamiltonian, hamiltonian_params, mesh,
 
 
 def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
-                               n_members, n_shards, check_vma=True):
-    """Fused-kernel ensemble loss, or None when the problem is outside the
-    fused regime.
+                               n_members, n_shards, check_vma=True,
+                               time_block_size=None):
+    """(fused-kernel ensemble loss, why) — the loss is None when the problem
+    is outside the fused regime, with ``why`` naming the disqualifier.
 
     Member chains run in ONE Pallas dispatch per time block per shard: the
     chain kernel's major grid axis walks the shard's members
@@ -111,17 +123,21 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
     from qoc_tpu.ops.expm import _EXPM_FORWARD, _pallas_ok
 
     if not isinstance(hamiltonian, EnsembleLinearHamiltonian):
-        return None
-    if pstate.magnus_policy != MagnusPolicy.M2 or pstate.step_costs:
-        return None
+        return None, "hamiltonian is not an EnsembleLinearHamiltonian"
+    if pstate.magnus_policy != MagnusPolicy.M2:
+        return None, "magnus policy {} (fused chain needs M2)".format(
+            pstate.magnus_policy)
+    if pstate.step_costs:
+        return None, "step costs require per-step states"
     if pstate.control_eval_times is None:
-        return None
+        return None, "no controls"
     if not (_EXPM_FORWARD["impl"] == "pallas"
             or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok())):
-        return None
+        return None, "Pallas expm unavailable on this backend"
     if (params.ndim != 2 or np.iscomplexobj(params)
             or params.shape[1] != hamiltonian.param_count):
-        return None
+        return None, "hamiltonian_params is not a real (n_members, {}) " \
+            "array".format(hamiltonian.param_count)
 
     rdt = real_dtype()
     initial_states = np.asarray(pstate.initial_states).astype(
@@ -133,9 +149,15 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
 
     from qoc_tpu.ops.chain_pallas import (chain_block_plan, chain_fused_ok,
                                           make_chain_expm_propagate)
-    if not chain_fused_ok(d, n_steps):
-        return None
+    if not chain_fused_ok(d, n_steps, m_per_shard):
+        return None, ("problem size outside kernel limits (padded d > 256, "
+                      "too few steps, or member block memory over budget)")
     block, remat = chain_block_plan(d, n_steps, m_per_shard)
+    if time_block_size is not None:
+        if not chain_fused_ok(d, time_block_size, m_per_shard):
+            return None, ("time_block_size {} below the fused kernel's "
+                          "segment floor".format(time_block_size))
+        block = int(time_block_size)
 
     n_blocks = -(-n_steps // block)
     pad = n_blocks * block - n_steps
@@ -215,7 +237,7 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
         return sharded(controls, jnp.asarray(params))
 
     loss.uses_fused_chain = True
-    return loss
+    return loss, None
 
 
 def grape_schroedinger_ensemble(control_count, control_eval_count, costs,
@@ -229,11 +251,16 @@ def grape_schroedinger_ensemble(control_count, control_eval_count, costs,
                                 iteration_count=1000, log_iteration_step=10,
                                 magnus_policy=MagnusPolicy.M2,
                                 max_control_norms=None, mesh=None,
-                                min_error=0, optimizer=None,
-                                save_file_path=None, save_iteration_step=0):
+                                min_error=0, optimizer=None, resume_from=None,
+                                save_file_path=None,
+                                save_intermediate_states=False,
+                                save_iteration_step=0, time_block_size=None,
+                                fused_chunk=None, fused_mode=None):
     """Robust GRAPE over an ensemble of Hamiltonians (qoc_tpu extension).
 
-    Same contract as :func:`qoc_tpu.grape_schroedinger_discrete` except:
+    Same contract as :func:`qoc_tpu.grape_schroedinger_discrete` (including
+    ``resume_from``/``save_intermediate_states``/``time_block_size``/
+    ``fused_chunk``/``fused_mode``) except:
     - ``hamiltonian(params_row, controls_t, time) -> (d, d)`` takes a member
       parameter row first,
     - ``hamiltonian_params`` :: array (n_members, ...) — one row per member;
@@ -242,7 +269,12 @@ def grape_schroedinger_ensemble(control_count, control_eval_count, costs,
       mesh over all local devices). n_members must be divisible by the mesh
       axis size.
 
-    ``result.best_final_states`` has shape (n_members, K, d, 1).
+    ``result.best_final_states`` has shape (n_members, K, d, 1), and the H5
+    schema's ``final_states``/``intermediate_states`` datasets carry the
+    same leading member axis (plus a ``hamiltonian_params`` dataset) — the
+    one intentional divergence from the reference schema
+    (/root/reference/qoc/models/schroedingermodels.py:276-307), which has no
+    ensemble concept. ``qoc_tpu.plot`` reads both layouts.
     """
     costs = list(costs)
     if optimizer is None:
@@ -257,13 +289,24 @@ def grape_schroedinger_ensemble(control_count, control_eval_count, costs,
         costs, evolution_time, None, impose_control_conditions,
         initial_controls, initial_states, interpolation_policy,
         iteration_count, log_iteration_step, max_control_norms,
-        magnus_policy, min_error, optimizer, save_file_path, False,
-        save_iteration_step, system_eval_count)
+        magnus_policy, min_error, optimizer, save_file_path,
+        save_intermediate_states, save_iteration_step, system_eval_count)
+    hamiltonian_params = np.asarray(hamiltonian_params)
+    pstate.evolved_shape = ((hamiltonian_params.shape[0],)
+                            + np.asarray(initial_states).shape)
+    pstate.ensemble_params = hamiltonian_params
+    if fused_chunk is not None:
+        pstate.fused_chunk = fused_chunk
+    if fused_mode is not None:
+        pstate.fused_mode = fused_mode
+    if resume_from is not None:
+        apply_resume(pstate, resume_from)
+    loss_controls = build_ensemble_loss(pstate, hamiltonian,
+                                        hamiltonian_params, mesh,
+                                        time_block_size=time_block_size,
+                                        log_path=pstate.should_log)
     pstate.log_and_save_initial()
     result = GrapeSchroedingerResult()
-
-    loss_controls = build_ensemble_loss(pstate, hamiltonian,
-                                        hamiltonian_params, mesh)
     cc = complex_controls
     shape = pstate.controls_shape
 
@@ -271,7 +314,31 @@ def grape_schroedinger_ensemble(control_count, control_eval_count, costs,
         controls = slap_controls_jax(cc, flat_params, shape)
         return loss_controls(controls)
 
+    collect_fn = intermediate_saver = None
+    if pstate.save_intermediate_states_:
+        members = hamiltonian_params.astype(
+            np_complex_dtype() if np.iscomplexobj(hamiltonian_params)
+            else np_real_dtype())
+
+        def collect(flat):
+            controls = slap_controls_jax(cc, flat, shape)
+
+            def member_intermediates(row):
+                override = lambda c, t: hamiltonian(row, c, t)
+                closs = build_schroedinger_loss(
+                    pstate, collect_intermediates=True, remat=False,
+                    hamiltonian_override=override,
+                    time_block_size=time_block_size)
+                return closs(controls)[2]            # (S, K, d, 1)
+
+            inters = jax.vmap(member_intermediates)(jnp.asarray(members))
+            return jnp.moveaxis(inters, 0, 1)        # (S, M, K, d, 1)
+
+        collect_fn = jax.jit(collect)
+        intermediate_saver = pstate.save_intermediate_states
+
     run_grape(pstate, result, loss_flat, "final_states",
               ("best_controls", "best_error", "best_final_states",
-               "best_iteration"))
+               "best_iteration"),
+              collect_fn=collect_fn, intermediate_saver=intermediate_saver)
     return result

@@ -180,6 +180,16 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     shard_loss_sum = _make_shard_loss(
         pstate, hamiltonian, hamiltonian_params, ensemble, cc, shape,
         c_per_shard, n_ens_shards, vary_axes, check_vma)
+    if pstate.should_log:
+        if getattr(shard_loss_sum, "uses_fused_chain", False):
+            print("qoc_tpu: multistart propagation path = fused Pallas "
+                  "chain kernel (candidate{}-batched)."
+                  "".format("xmember" if ensemble else ""))
+        else:
+            print("qoc_tpu: multistart propagation path = generic batched "
+                  "Magnus+expm under vmap (declare a LinearHamiltonian / "
+                  "EnsembleLinearHamiltonian with Magnus M2 and no step "
+                  "costs for the ~10x fused path).")
 
     def iteration_step(carry):
         (params, opt_state, done, best_err, best_flat, best_iter,
@@ -537,7 +547,7 @@ def _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble,
 
     from qoc_tpu.ops.chain_pallas import (chain_block_plan, chain_fused_ok,
                                           make_chain_expm_propagate)
-    if not chain_fused_ok(d, n_steps):
+    if not chain_fused_ok(d, n_steps, n_chains):
         return None
     block, remat = chain_block_plan(d, n_steps, n_chains)
 

@@ -105,9 +105,15 @@ def _plot_populations(times, populations, labels, title, save_file_path,
 
 
 def plot_state_population(file_path, state_index=0, save_index=None,
-                          save_file_path=None, title=None, show=False):
+                          save_file_path=None, title=None, show=False,
+                          member=0):
     """Plot level populations |<n|psi(t)>|^2 from saved intermediate states
-    (reference plot.py:266-351)."""
+    (reference plot.py:266-351).
+
+    ``member`` selects the ensemble member for files written by
+    ``grape_schroedinger_ensemble`` (which carry a leading member axis on
+    the intermediate/final state datasets); ignored for plain files.
+    """
     if not _HAVE_MPL:
         raise ImportError("matplotlib is required for plotting.")
     data = _read_locked(file_path, ("intermediate_states", "error",
@@ -117,9 +123,11 @@ def plot_state_population(file_path, state_index=0, save_index=None,
                          "rerun with save_intermediate_states=True."
                          "".format(file_path))
     states = data["intermediate_states"]
-    if states.ndim == 5:  # GRAPE file: (save_count, S, K, d, 1)
+    if states.ndim >= 5:  # GRAPE file: (save_count, S, [M,] K, d, 1)
         index = _best_index(data, save_index)
         states = states[index]
+    if states.ndim == 5:  # ensemble member axis: (S, M, K, d, 1)
+        states = states[:, member]
     evolution_time = float(data["evolution_time"])
     system_eval_count = states.shape[0]
     times = np.linspace(0, evolution_time, system_eval_count)
@@ -133,9 +141,11 @@ def plot_state_population(file_path, state_index=0, save_index=None,
 
 
 def plot_density_population(file_path, density_index=0, save_index=None,
-                            save_file_path=None, title=None, show=False):
+                            save_file_path=None, title=None, show=False,
+                            member=0):
     """Plot diagonal populations of saved intermediate densities
-    (reference plot.py:178-263)."""
+    (reference plot.py:178-263). ``member`` selects the ensemble member for
+    ensemble-driver files (leading member axis); ignored for plain files."""
     if not _HAVE_MPL:
         raise ImportError("matplotlib is required for plotting.")
     data = _read_locked(file_path, ("intermediate_densities", "error",
@@ -145,9 +155,11 @@ def plot_density_population(file_path, density_index=0, save_index=None,
                          "rerun with save_intermediate_densities=True."
                          "".format(file_path))
     densities = data["intermediate_densities"]
-    if densities.ndim == 5:
+    if densities.ndim >= 5:  # GRAPE file: (save_count, S, [M,] K, d, d)
         index = _best_index(data, save_index)
         densities = densities[index]
+    if densities.ndim == 5:  # ensemble member axis: (S, M, K, d, d)
+        densities = densities[:, member]
     evolution_time = float(data["evolution_time"])
     times = np.linspace(0, evolution_time, densities.shape[0])
     rho = densities[:, density_index]  # (S, d, d)

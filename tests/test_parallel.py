@@ -208,3 +208,103 @@ def test_state_axis_sharding_matches_single_device():
     assert np.allclose(sharded.best_controls, single.best_controls,
                        atol=1e-9)
     assert sharded.best_final_states.shape == (8, d, 1)
+
+
+# ---------------------------------------------------------------------------
+# Ensemble H5 saving / resume (VERDICT r2 #1, #7)
+# ---------------------------------------------------------------------------
+
+def test_ensemble_h5_saving_member_schema(tmp_path):
+    """Ensemble runs write member-stacked final/intermediate states into a
+    member-extended GRAPE schema (the reference schema has no ensemble
+    concept, schroedingermodels.py:276-307); rows must match per-member
+    evolve recomputation at the saved controls."""
+    import h5py
+    from qoc_tpu import evolve_schroedinger_discrete
+    hamiltonian, initial_states, target_states = _ensemble_setup()
+    costs = [TargetStateInfidelity(target_states)]
+    params = RNG.normal(scale=0.05, size=(4, 1))
+    save_path = str(tmp_path / "00000_ensemble.h5")
+    grape_schroedinger_ensemble(
+        1, 5, costs, 4.0, hamiltonian, params, initial_states, 5,
+        complex_controls=True, iteration_count=6, log_iteration_step=0,
+        mesh=make_mesh(4), optimizer=Adam(learning_rate=0.01),
+        save_file_path=save_path, save_iteration_step=2,
+        save_intermediate_states=True)
+    with h5py.File(save_path, "r") as f:
+        finals = np.asarray(f["final_states"])
+        inters = np.asarray(f["intermediate_states"])
+        errors = np.asarray(f["error"])
+        controls_rows = np.asarray(f["controls"])
+        saved_params = np.asarray(f["hamiltonian_params"])
+    assert finals.shape == (3, 4, 1, 2, 1)
+    assert inters.shape == (3, 5, 4, 1, 2, 1)
+    assert np.allclose(saved_params, params)
+    assert np.all(errors < np.finfo(np.float64).max)
+    for m in range(4):
+        member_h = lambda c, t, _row=params[m]: hamiltonian(_row, c, t)
+        ev = evolve_schroedinger_discrete(
+            4.0, member_h, initial_states, 5, controls=controls_rows[2],
+            save_intermediate_states=True)
+        assert np.allclose(finals[2, m], ev.final_states, atol=1e-9)
+        assert np.allclose(inters[2, :, m], ev.intermediate_states,
+                           atol=1e-9)
+    # The member-aware plot path reads the 6-D intermediate layout.
+    from qoc_tpu.plot import plot_state_population
+    plot_state_population(save_path, member=2,
+                          save_file_path=str(tmp_path / "pop.png"))
+
+
+def test_ensemble_resume_reproduces_uninterrupted_run(tmp_path):
+    """resume_from on the ensemble driver restores params + Adam moments +
+    iteration numbering; the extended run's H5 rows must equal the
+    uninterrupted run's."""
+    import h5py
+    hamiltonian, initial_states, target_states = _ensemble_setup()
+    costs = [TargetStateInfidelity(target_states)]
+    params = RNG.normal(scale=0.05, size=(4, 1))
+    kwargs = dict(complex_controls=True, log_iteration_step=0,
+                  mesh=make_mesh(4), save_iteration_step=1, fused_chunk=3)
+
+    def run(path, iteration_count, **extra):
+        return grape_schroedinger_ensemble(
+            1, 5, costs, 4.0, hamiltonian, params, initial_states, 5,
+            iteration_count=iteration_count, save_file_path=path,
+            optimizer=Adam(learning_rate=0.01), **kwargs, **extra)
+
+    full_path = str(tmp_path / "00000_full.h5")
+    run(full_path, 10)
+    part_path = str(tmp_path / "00000_part.h5")
+    run(part_path, 5)
+    resumed = run(part_path, 10, resume_from=part_path)
+    assert resumed.iteration_count_ran == 5
+    with h5py.File(full_path, "r") as f_full, \
+            h5py.File(part_path, "r") as f_res:
+        assert np.allclose(np.asarray(f_full["error"]),
+                           np.asarray(f_res["error"]), atol=1e-12)
+        assert np.allclose(np.asarray(f_full["controls"]),
+                           np.asarray(f_res["controls"]), atol=1e-12)
+        assert np.asarray(f_res["final_states"]).shape == (10, 4, 1, 2, 1)
+
+
+def test_path_selection_logged(capsys):
+    """One should_log line states which propagation path the loss compiled
+    to and why (VERDICT r2 #8)."""
+    hamiltonian, initial_states, target_states = _ensemble_setup()
+    costs = [TargetStateInfidelity(target_states)]
+    params = RNG.normal(scale=0.05, size=(4, 1))
+    grape_schroedinger_ensemble(
+        1, 5, costs, 4.0, hamiltonian, params, initial_states, 5,
+        complex_controls=True, iteration_count=1, log_iteration_step=1,
+        mesh=make_mesh(4), optimizer=Adam(learning_rate=0.01))
+    out = capsys.readouterr().out
+    assert "ensemble propagation path = generic batched" in out
+
+    from qoc_tpu import grape_schroedinger_discrete
+    grape_schroedinger_discrete(
+        1, 5, costs, 4.0, lambda c, t: hamiltonian(np.zeros(1), c, t),
+        initial_states, 5, complex_controls=True, iteration_count=1,
+        log_iteration_step=1)
+    out = capsys.readouterr().out
+    assert "propagation path = blocked batched Magnus" in out
+    assert "not a LinearHamiltonian" in out
