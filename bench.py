@@ -232,24 +232,18 @@ def bench_multistart(n_starts=512):
     _, hamiltonian, initial, costs, _, _ = _bench_problem(
         D, CONTROL_COUNT, 201, 201, 2.0)
 
-    def run(iters):
-        # Fixed fused_chunk: the stepwise row buffers are chunk-shaped, so
-        # a shared chunk size means every call reuses one compiled step.
-        start = time.perf_counter()
-        result = grape_schroedinger_multistart(
-            CONTROL_COUNT, 201, costs, 2.0, hamiltonian, initial, 201,
-            n_starts=n_starts, complex_controls=True,
-            iteration_count=iters, log_iteration_step=0, optimizer=Adam(),
-            fused_chunk=12)
-        return time.perf_counter() - start, result
-
-    run(2)                      # compile / cache-warm
-    # Every call pays the same fixed trace + cache-load overhead; the
-    # difference of two call lengths isolates the per-iteration cost.
-    t_short, _ = run(2)
-    t_long, result = run(12)
-    per_iteration = max((t_long - t_short) / 10, 1e-9)
-    return n_starts / per_iteration, float(np.min(result.errors))
+    # ONE long run timed at steady state: the driver's RateMeter ticks at
+    # every chunk boundary and ``steady_rate`` drops the interval up to the
+    # first tick, so the compile/trace cost of chunk 1 is excluded and
+    # chunks 2..4 (36 x 512 candidate-iterations) are timed warm. This
+    # replaces the earlier two-call-difference estimate, whose short-run
+    # subtraction was noise-dominated (it recorded 385-585 cand-it/s for
+    # the same workload across rounds).
+    result = grape_schroedinger_multistart(
+        CONTROL_COUNT, 201, costs, 2.0, hamiltonian, initial, 201,
+        n_starts=n_starts, complex_controls=True, iteration_count=48,
+        log_iteration_step=0, optimizer=Adam(), fused_chunk=12)
+    return result.iterations_per_s_steady, float(np.min(result.errors))
 
 
 def main():

