@@ -18,6 +18,12 @@ from qoc_tpu.core import (
 )
 from qoc_tpu.models import (ConstantLindblad, EnsembleLinearHamiltonian,
                             LinearHamiltonian)
+from qoc_tpu.parallel import (
+    grape_lindblad_ensemble,
+    grape_lindblad_multistart,
+    grape_schroedinger_ensemble,
+    grape_schroedinger_multistart,
+)
 
 __version__ = "0.1.0"
 
@@ -27,6 +33,10 @@ __all__ = [
     "evolve_schroedinger_discrete",
     "grape_schroedinger_discrete",
     "grape_unitary",
+    "grape_lindblad_ensemble",
+    "grape_lindblad_multistart",
+    "grape_schroedinger_ensemble",
+    "grape_schroedinger_multistart",
     "LinearHamiltonian",
     "EnsembleLinearHamiltonian",
     "ConstantLindblad",

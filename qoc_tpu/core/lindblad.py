@@ -333,6 +333,10 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
             kwargs = {"atol": atol, "rtol": rtol}
             if differentiable:
                 kwargs["max_steps"] = max_steps
+            if pvary_axes:
+                # The adaptive carry's internally-created leaves must match
+                # the member-varying density axis under shard_map.
+                kwargs["pvary_axes"] = pvary_axes
             return integrate(rhs, x_eval, time, densities, **kwargs)[0]
 
     def loss(controls):

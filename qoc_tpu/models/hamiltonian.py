@@ -172,6 +172,23 @@ class EnsembleLinearHamiltonian(LinearHamiltonian):
         return np.concatenate((base[:1], self.param_operators, base[1:]),
                               axis=0)
 
+    def superoperator_basis(self, dt, dissipators=None, operators=None):
+        """Lindblad-superoperator basis with the member layout
+        [s0(+dissipators), s(param_ops)..., s(P_i), s(Q_i)...] matching the
+        ensemble weight rows [1, δ_m, Re c, Im c] — the Hamiltonian
+        commutator map is linear, so each Hermitian param operator
+        contributes its own -i[·,ρ] superoperator column (the dissipator
+        part stays in the constant k=0 term, shared by all members)."""
+        base = LinearHamiltonian.superoperator_basis(self, dt, dissipators,
+                                                     operators)
+        d = self.h0.shape[-1]
+        eye = np.eye(d)
+        param_cols = np.stack([
+            -1j * dt * (np.kron(p, eye) - np.kron(eye, p.T))
+            for p in self.param_operators])
+        return np.concatenate((base[:1], param_cols.astype(base.dtype),
+                               base[1:]), axis=0)
+
 
 class ConstantLindblad:
     """Time-independent Lindblad data: callable with the reference contract

@@ -22,6 +22,23 @@ from jax import lax
 
 from qoc_tpu.ops.linalg import rms_norm
 
+
+def _promote_carry_vma(carry, f0):
+    """Promote every adaptive-carry leaf to the varying-axis type of the RHS
+    output ``f0``.
+
+    The adaptive carry mixes leaves derived from the (member-varying) state
+    with internally-created constants (the output buffer, the time cursor,
+    the rejected flag); under ``shard_map(..., check_vma=True)`` the
+    ``lax.cond`` joins inside the stepper need both branches at the same
+    varying-axis type. Adding a varying scalar zero promotes by construction
+    at any trace level (a direct ``pcast`` is brittle under ``vmap``, where
+    the leaf's visible aval hides its varying axes)."""
+    zero = jnp.real(jnp.sum(f0)) * 0
+    return tuple((leaf | (zero > 0)) if leaf.dtype == jnp.bool_
+                 else leaf + zero.astype(leaf.dtype)
+                 for leaf in carry)
+
 __all__ = ["integrate_rkdp5", "integrate_rkdp5_scan", "integrate_rkdp5_step",
            "rkdp5_dense"]
 
@@ -178,7 +195,7 @@ def _collect(out, x, x_new, x_eval, ks, y, y1):
 
 def integrate_rkdp5(rhs, x_eval, x_initial, y_initial, atol=1e-12, rtol=0.0,
                     step_safety_factor=0.9, step_update_factor_max=10.0,
-                    step_update_factor_min=2e-1):
+                    step_update_factor_min=2e-1, pvary_axes=None):
     """Adaptive RKDP5(4) via ``lax.while_loop`` (forward-only).
 
     Arguments match the reference (mathmethods.py:352-480): ``x_eval`` is a
@@ -213,6 +230,8 @@ def integrate_rkdp5(rhs, x_eval, x_initial, y_initial, atol=1e-12, rtol=0.0,
 
     carry = (jnp.asarray(x_initial, dtype=jnp.result_type(x_eval)),
              y_initial, f0, h_first, jnp.bool_(False), out)
+    if pvary_axes:
+        carry = _promote_carry_vma(carry, f0)
     _, _, _, _, _, out = lax.while_loop(cond, body, carry)
     return out
 
@@ -220,7 +239,8 @@ def integrate_rkdp5(rhs, x_eval, x_initial, y_initial, atol=1e-12, rtol=0.0,
 def integrate_rkdp5_scan(rhs, x_eval, x_initial, y_initial, atol=1e-12,
                          rtol=0.0, step_safety_factor=0.9,
                          step_update_factor_max=10.0,
-                         step_update_factor_min=2e-1, max_steps=16384):
+                         step_update_factor_min=2e-1, max_steps=16384,
+                         pvary_axes=None):
     """Adaptive RKDP5(4) as a bounded masked ``lax.scan`` (differentiable).
 
     Semantically identical to :func:`integrate_rkdp5` provided the adaptive
@@ -264,6 +284,8 @@ def integrate_rkdp5_scan(rhs, x_eval, x_initial, y_initial, atol=1e-12,
 
     carry = (jnp.asarray(x_initial, dtype=jnp.result_type(x_eval)),
              y_initial, f0, h_first, jnp.bool_(False), out)
+    if pvary_axes:
+        carry = _promote_carry_vma(carry, f0)
     carry, _ = lax.scan(step, carry, None, length=max_steps)
     x_end, out = carry[0], carry[5]
     converged = x_end > x_final

@@ -1,8 +1,14 @@
-"""qoc_tpu.parallel - mesh sharding and ensemble-robust GRAPE (L5)."""
+"""qoc_tpu.parallel - mesh sharding, ensemble-robust GRAPE, and multistart
+(L5)."""
 
 from qoc_tpu.parallel.ensemble import (
     build_ensemble_loss,
     grape_schroedinger_ensemble,
+)
+from qoc_tpu.parallel.lindblad import (
+    build_lindblad_ensemble_loss,
+    grape_lindblad_ensemble,
+    grape_lindblad_multistart,
 )
 from qoc_tpu.parallel.multistart import grape_schroedinger_multistart
 from qoc_tpu.parallel.sharding import (
@@ -16,6 +22,9 @@ from qoc_tpu.parallel.sharding import (
 __all__ = [
     "ENSEMBLE_AXIS",
     "build_ensemble_loss",
+    "build_lindblad_ensemble_loss",
+    "grape_lindblad_ensemble",
+    "grape_lindblad_multistart",
     "grape_schroedinger_ensemble",
     "grape_schroedinger_multistart",
     "initialize_distributed",

@@ -255,7 +255,8 @@ def grape_schroedinger_ensemble(control_count, control_eval_count, costs,
                                 save_file_path=None,
                                 save_intermediate_states=False,
                                 save_iteration_step=0, time_block_size=None,
-                                fused_chunk=None, fused_mode=None):
+                                fused_chunk=None, fused_mode=None,
+                                check_vma=True):
     """Robust GRAPE over an ensemble of Hamiltonians (qoc_tpu extension).
 
     Same contract as :func:`qoc_tpu.grape_schroedinger_discrete` (including
@@ -303,6 +304,7 @@ def grape_schroedinger_ensemble(control_count, control_eval_count, costs,
         apply_resume(pstate, resume_from)
     loss_controls = build_ensemble_loss(pstate, hamiltonian,
                                         hamiltonian_params, mesh,
+                                        check_vma=check_vma,
                                         time_block_size=time_block_size,
                                         log_path=pstate.should_log)
     pstate.log_and_save_initial()

@@ -1,0 +1,294 @@
+"""Lindblad parallel-layer tests: ensemble-robust GRAPE over the 8-way
+virtual mesh, fused superoperator chain kernel parity, density-batch mesh
+sharding, Lindblad multistart, and ensemble H5 saving — the open-system
+mirror of tests/test_parallel.py / test_multistart.py (SURVEY.md §2.4
+applied to the reference's second flagship entry point,
+/root/reference/qoc/core/lindbladdiscrete.py:110-256).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from qoc_tpu import (
+    evolve_lindblad_discrete,
+    grape_lindblad_ensemble,
+    grape_lindblad_multistart,
+)
+from qoc_tpu.models import (
+    ConstantLindblad,
+    EnsembleLinearHamiltonian,
+    LindbladMethod,
+    LinearHamiltonian,
+)
+from qoc_tpu.optim import Adam
+from qoc_tpu.parallel import build_lindblad_ensemble_loss, make_mesh
+from qoc_tpu.standard import (
+    SIGMA_Z,
+    TargetDensityInfidelity,
+    get_annihilation_operator,
+)
+
+
+@pytest.fixture()
+def interpreted_pallas(monkeypatch):
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig(*a, **{**{"interpret": True}, **kw}))
+
+
+def _problem():
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    ens_ham = EnsembleLinearHamiltonian(h0, np.stack((a,)), [h0])
+    members = np.linspace(-0.05, 0.05, 4).reshape(-1, 1)
+    initial = np.array([[[1.0, 0.0], [0.0, 0.0]]], dtype=complex)
+    target = np.array([[[0.0, 0.0], [0.0, 1.0]]], dtype=complex)
+    costs = [TargetDensityInfidelity(target)]
+    lindblad_data = ConstantLindblad(np.array([1e-3]), np.stack([a]))
+    return ens_ham, members, initial, costs, lindblad_data
+
+
+def test_superoperator_basis_member_layout():
+    """EnsembleLinearHamiltonian.superoperator_basis with weights
+    [1, delta, Re c, Im c] reproduces the direct Lindblad superoperator of
+    the member Hamiltonian (the contract the fused ensemble path relies
+    on)."""
+    from qoc_tpu.ops.lindblad import lindblad_superoperator
+    ens_ham, _, _, _, _ = _problem()
+    h0 = ens_ham.h0
+    a = ens_ham.operators[0]
+    gammas, lops = np.array([0.02]), np.stack([a])
+    dt = 0.7
+    basis = ens_ham.superoperator_basis(dt, gammas, lops)
+    assert basis.shape == (4, 4, 4)  # [s0, s_param, s_P, s_Q]
+    delta, c = 0.033, 0.2 - 0.4j
+    w = np.array([1.0, delta, c.real, c.imag])
+    h_member = (1 + delta) * h0 + c * a + np.conj(c) * a.conj().T
+    s_direct = np.asarray(lindblad_superoperator(gammas, h_member, lops,
+                                                 hilbert_size=2))
+    assert np.allclose(np.einsum("k,kij->ij", w, basis) / dt, s_direct,
+                       atol=1e-12)
+
+
+def test_lindblad_ensemble_sharded_matches_single_rkdp5():
+    ens_ham, members, initial, costs, lindblad_data = _problem()
+    kwargs = dict(complex_controls=True, iteration_count=6,
+                  lindblad_data=lindblad_data, log_iteration_step=0,
+                  optimizer=Adam(learning_rate=0.05))
+    sharded = grape_lindblad_ensemble(
+        1, 7, costs, 5.0, ens_ham, members, initial, 2,
+        mesh=make_mesh(4), **kwargs)
+    single = grape_lindblad_ensemble(
+        1, 7, costs, 5.0, ens_ham, members, initial, 2,
+        mesh=make_mesh(1), **kwargs)
+    assert sharded.best_final_densities.shape == (4, 1, 2, 2)
+    # psum reduces members in a different order than the single-shard sum;
+    # the adaptive integrator's long FP chains amplify that reduction-order
+    # noise through 6 Adam steps (the MAGNUS twin below holds 1e-10).
+    assert abs(sharded.best_error - single.best_error) < 1e-6
+    assert np.allclose(sharded.best_controls, single.best_controls,
+                       atol=1e-5)
+    # Ensemble mean error: each member's trace is preserved.
+    traces = np.trace(sharded.best_final_densities, axis1=-2, axis2=-1)
+    assert np.allclose(traces, 1.0, atol=1e-6)
+
+
+def test_lindblad_ensemble_sharded_matches_single_magnus():
+    ens_ham, members, initial, costs, lindblad_data = _problem()
+    kwargs = dict(complex_controls=True, iteration_count=6,
+                  lindblad_data=lindblad_data, log_iteration_step=0,
+                  method=LindbladMethod.MAGNUS_EXPM,
+                  optimizer=Adam(learning_rate=0.05))
+    sharded = grape_lindblad_ensemble(
+        1, 7, costs, 5.0, ens_ham, members, initial, 21,
+        mesh=make_mesh(4), **kwargs)
+    single = grape_lindblad_ensemble(
+        1, 7, costs, 5.0, ens_ham, members, initial, 21,
+        mesh=make_mesh(1), **kwargs)
+    assert abs(sharded.best_error - single.best_error) < 1e-10
+    assert np.allclose(sharded.best_controls, single.best_controls,
+                       atol=1e-10)
+
+
+def test_lindblad_ensemble_fused_matches_generic(interpreted_pallas):
+    from qoc_tpu.ops.expm import set_expm_forward
+    ens_ham, members, initial, costs, lindblad_data = _problem()
+    kwargs = dict(complex_controls=True, iteration_count=5,
+                  lindblad_data=lindblad_data, log_iteration_step=0,
+                  method=LindbladMethod.MAGNUS_EXPM, check_vma=False,
+                  optimizer=Adam(learning_rate=0.05), mesh=make_mesh(4))
+    generic = grape_lindblad_ensemble(
+        1, 7, costs, 5.0, ens_ham, members, initial, 21, **kwargs)
+    try:
+        set_expm_forward("pallas")
+        fused = grape_lindblad_ensemble(
+            1, 7, costs, 5.0, ens_ham, members, initial, 21, **kwargs)
+    finally:
+        set_expm_forward("auto")
+    # f32 kernel vs f64 XLA path: loose tolerance, same optimization run.
+    assert abs(fused.best_error - generic.best_error) < 1e-5
+    assert np.abs(fused.best_controls - generic.best_controls).max() < 1e-4
+
+
+def test_lindblad_ensemble_fused_loss_flag(interpreted_pallas):
+    """The fused builder actually takes the superoperator chain path for an
+    EnsembleLinearHamiltonian + ConstantLindblad under MAGNUS_EXPM."""
+    from qoc_tpu.core.common import initialize_controls
+    from qoc_tpu.models import (GrapeLindbladDiscreteState,
+                                InterpolationPolicy, MagnusPolicy)
+    from qoc_tpu.ops.expm import set_expm_forward
+    ens_ham, members, initial, costs, lindblad_data = _problem()
+    initial_controls, max_norms = initialize_controls(True, 1, 7, 5.0, None,
+                                                      None)
+    pstate = GrapeLindbladDiscreteState(
+        True, 1, 7, 1, costs, 5.0, None, None, initial_controls, initial,
+        InterpolationPolicy.LINEAR, 1, lindblad_data, 0, max_norms, 0,
+        Adam(), None, False, 0, 21)
+    pstate.method_ = LindbladMethod.MAGNUS_EXPM
+    pstate.magnus_policy_ = MagnusPolicy.M2
+    try:
+        set_expm_forward("pallas")
+        loss = build_lindblad_ensemble_loss(pstate, ens_ham, members,
+                                            make_mesh(4), check_vma=False)
+    finally:
+        set_expm_forward("auto")
+    assert loss.uses_fused_chain
+    # RKDP5 never fuses.
+    pstate.method_ = LindbladMethod.RKDP5
+    loss2 = build_lindblad_ensemble_loss(pstate, ens_ham, members,
+                                         make_mesh(4), check_vma=False)
+    assert not loss2.uses_fused_chain
+
+
+def test_lindblad_ensemble_h5_saving(tmp_path):
+    """Member-extended schema: final_densities rows carry the leading member
+    axis and match per-member evolve recomputation."""
+    import h5py
+    ens_ham, members, initial, costs, lindblad_data = _problem()
+    path = str(tmp_path / "00000_lens.h5")
+    result = grape_lindblad_ensemble(
+        1, 7, costs, 5.0, ens_ham, members, initial, 2,
+        complex_controls=True, iteration_count=4,
+        lindblad_data=lindblad_data, log_iteration_step=0,
+        optimizer=Adam(learning_rate=0.05), mesh=make_mesh(4),
+        save_file_path=path, save_iteration_step=2)
+    with h5py.File(path, "r") as f:
+        finals = np.asarray(f["final_densities"])
+        controls_rows = np.asarray(f["controls"])
+        errors = np.asarray(f["error"])
+        saved_members = np.asarray(f["hamiltonian_params"])
+    assert finals.shape == (2, 4, 1, 2, 2)
+    assert np.allclose(saved_members, members)
+    # Recompute each member's final density from the saved controls.
+    for m in range(4):
+        row = members[m]
+        ev = evolve_lindblad_discrete(
+            5.0, initial, 2, controls=controls_rows[0],
+            hamiltonian=ens_ham.member(row), lindblad_data=lindblad_data)
+        assert np.allclose(ev.final_densities, finals[0, m], atol=1e-8)
+    assert np.isfinite(errors).all()
+    assert result.best_error <= errors[-1] + 1e-12
+
+
+def test_lindblad_density_batch_mesh_matches_single():
+    """mesh= on evolve_lindblad_discrete shards the density-batch axis K
+    without changing the result (SURVEY.md §2.4 row 1, Lindblad analog)."""
+    rng = np.random.default_rng(5)
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    lindblad_data = ConstantLindblad(np.array([0.05]), np.stack([a]))
+    rhos = []
+    for _ in range(8):
+        s = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        rho = s @ s.conj().T
+        rhos.append(rho / np.trace(rho))
+    rhos = np.stack(rhos)
+    hamiltonian = lambda c, t: jnp.asarray(h0)
+    sharded = evolve_lindblad_discrete(
+        2.0, rhos, 2, hamiltonian=hamiltonian, lindblad_data=lindblad_data,
+        mesh=make_mesh(8, axis_name="density"))
+    single = evolve_lindblad_discrete(
+        2.0, rhos, 2, hamiltonian=hamiltonian, lindblad_data=lindblad_data)
+    assert np.allclose(sharded.final_densities, single.final_densities,
+                       atol=1e-10)
+    assert abs(sharded.error - single.error) < 1e-12
+
+
+def test_lindblad_multistart_sharded_matches_single():
+    _, _, initial, costs, lindblad_data = _problem()
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    hamiltonian = LinearHamiltonian(h0, np.stack((a,)))
+    kwargs = dict(n_starts=8, complex_controls=True, iteration_count=8,
+                  hamiltonian=hamiltonian, lindblad_data=lindblad_data,
+                  log_iteration_step=0, optimizer=Adam(learning_rate=0.05),
+                  method=LindbladMethod.MAGNUS_EXPM, fused_chunk=4)
+    sharded = grape_lindblad_multistart(
+        1, 7, costs, 5.0, initial, 21,
+        mesh=make_mesh(8, axis_name="candidate"), **kwargs)
+    single = grape_lindblad_multistart(
+        1, 7, costs, 5.0, initial, 21,
+        mesh=make_mesh(1, axis_name="candidate"), **kwargs)
+    assert sharded.errors.shape == (8,)
+    assert np.allclose(sharded.errors, single.errors, atol=1e-9)
+    assert np.allclose(sharded.best_controls, single.best_controls,
+                       atol=1e-9)
+    assert sharded.best_error == sharded.errors.min()
+    assert sharded.best_final_densities.shape == (1, 2, 2)
+
+
+def test_lindblad_multistart_fused_matches_generic(interpreted_pallas):
+    from qoc_tpu.ops.expm import set_expm_forward
+    _, _, initial, costs, lindblad_data = _problem()
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    hamiltonian = LinearHamiltonian(h0, np.stack((a,)))
+    kwargs = dict(n_starts=4, complex_controls=True, iteration_count=5,
+                  hamiltonian=hamiltonian, lindblad_data=lindblad_data,
+                  log_iteration_step=0, optimizer=Adam(learning_rate=0.05),
+                  method=LindbladMethod.MAGNUS_EXPM, fused_chunk=3,
+                  check_vma=False, mesh=make_mesh(4, axis_name="candidate"))
+    generic = grape_lindblad_multistart(
+        1, 7, costs, 5.0, initial, 21, **kwargs)
+    try:
+        set_expm_forward("pallas")
+        fused = grape_lindblad_multistart(
+            1, 7, costs, 5.0, initial, 21, **kwargs)
+    finally:
+        set_expm_forward("auto")
+    assert np.allclose(fused.errors, generic.errors, atol=1e-4)
+
+
+def test_lindblad_multistart_ensemble_2d_mesh():
+    from jax.sharding import Mesh
+    ens_ham, members, initial, costs, lindblad_data = _problem()
+    devices = np.asarray(jax.devices())
+    kwargs = dict(n_starts=4, complex_controls=True, iteration_count=5,
+                  hamiltonian=ens_ham, hamiltonian_params=members,
+                  lindblad_data=lindblad_data, log_iteration_step=0,
+                  optimizer=Adam(learning_rate=0.05),
+                  method=LindbladMethod.MAGNUS_EXPM, fused_chunk=5)
+    r2d = grape_lindblad_multistart(
+        1, 7, costs, 5.0, initial, 21,
+        mesh=Mesh(devices.reshape(4, 2), ("candidate", "ensemble")),
+        **kwargs)
+    r1d = grape_lindblad_multistart(
+        1, 7, costs, 5.0, initial, 21,
+        mesh=Mesh(devices.reshape(8, 1)[:4], ("candidate", "ensemble")),
+        **kwargs)
+    assert np.allclose(r2d.errors, r1d.errors, atol=1e-9)
+    assert r2d.best_final_densities.shape == (4, 1, 2, 2)
+
+
+def test_lindblad_multistart_rejects_host_only_optimizer():
+    from qoc_tpu.optim import LBFGSB
+    _, _, initial, costs, lindblad_data = _problem()
+    with pytest.raises(ValueError, match="LBFGSB is host-loop only"):
+        grape_lindblad_multistart(
+            1, 7, costs, 5.0, initial, 2, n_starts=4,
+            lindblad_data=lindblad_data, optimizer=LBFGSB())
