@@ -51,13 +51,14 @@ SAVE_PATH = "./out"
 SAVE_FILE_NAME = "transmon_pi"
 
 
-def main():
-    save_file_path = generate_save_file_path(SAVE_FILE_NAME, SAVE_PATH)
+def main(iteration_count=ITERATION_COUNT, save_path=SAVE_PATH,
+         log_iteration_step=LOG_ITERATION_STEP):
+    save_file_path = generate_save_file_path(SAVE_FILE_NAME, save_path)
     result = grape_schroedinger_discrete(
         CONTROL_COUNT, CONTROL_EVAL_COUNT, COSTS, EVOLUTION_TIME,
         hamiltonian, INITIAL_STATES, SYSTEM_EVAL_COUNT,
-        complex_controls=COMPLEX_CONTROLS, iteration_count=ITERATION_COUNT,
-        log_iteration_step=LOG_ITERATION_STEP,
+        complex_controls=COMPLEX_CONTROLS, iteration_count=iteration_count,
+        log_iteration_step=log_iteration_step,
         save_file_path=save_file_path,
         save_iteration_step=SAVE_ITERATION_STEP)
     print("best error: {} at iteration {}".format(result.best_error,

@@ -68,14 +68,15 @@ SAVE_PATH = "./out"
 SAVE_FILE_NAME = "transmon_pi_decoherence"
 
 
-def main():
-    save_file_path = generate_save_file_path(SAVE_FILE_NAME, SAVE_PATH)
+def main(iteration_count=ITERATION_COUNT, save_path=SAVE_PATH,
+         log_iteration_step=LOG_ITERATION_STEP):
+    save_file_path = generate_save_file_path(SAVE_FILE_NAME, save_path)
     result = grape_lindblad_discrete(
         CONTROL_COUNT, CONTROL_EVAL_COUNT, COSTS, EVOLUTION_TIME,
         INITIAL_DENSITIES, SYSTEM_EVAL_COUNT,
         complex_controls=COMPLEX_CONTROLS, hamiltonian=hamiltonian,
-        iteration_count=ITERATION_COUNT, lindblad_data=lindblad_data,
-        log_iteration_step=LOG_ITERATION_STEP,
+        iteration_count=iteration_count, lindblad_data=lindblad_data,
+        log_iteration_step=log_iteration_step,
         max_control_norms=MAX_CONTROL_NORMS, optimizer=OPTIMIZER,
         save_file_path=save_file_path,
         save_iteration_step=SAVE_ITERATION_STEP)

@@ -41,12 +41,13 @@ AMP_SCALES = np.linspace(0.95, 1.05, 4)
 ENSEMBLE_PARAMS = np.array([[d, a] for d in DETUNINGS for a in AMP_SCALES])
 
 
-def main():
+def main(iteration_count=500, log_iteration_step=50):
     mesh = make_mesh()  # all local devices
     result = grape_schroedinger_ensemble(
         1, 11, COSTS, 10, hamiltonian, ENSEMBLE_PARAMS, INITIAL_STATES, 11,
-        complex_controls=True, iteration_count=500, log_iteration_step=50,
-        mesh=mesh, optimizer=Adam(learning_rate=0.01))
+        complex_controls=True, iteration_count=iteration_count,
+        log_iteration_step=log_iteration_step, mesh=mesh,
+        optimizer=Adam(learning_rate=0.01))
     print("ensemble-mean best error: {} at iteration {}"
           "".format(result.best_error, result.best_iteration))
     print("per-member final states shape:",

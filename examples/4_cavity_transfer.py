@@ -54,11 +54,12 @@ CONTROL_EVAL_COUNT = SYSTEM_EVAL_COUNT = 501
 ITERATION_COUNT = 200
 
 
-def main():
+def main(iteration_count=ITERATION_COUNT, log_iteration_step=20):
     result = grape_schroedinger_discrete(
         2, CONTROL_EVAL_COUNT, COSTS, EVOLUTION_TIME, hamiltonian,
         INITIAL_STATES, SYSTEM_EVAL_COUNT, complex_controls=True,
-        iteration_count=ITERATION_COUNT, log_iteration_step=20,
+        iteration_count=iteration_count,
+        log_iteration_step=log_iteration_step,
         max_control_norms=np.array([2 * np.pi * 0.03, 2 * np.pi * 0.03]))
     print("best error: {} at iteration {}".format(result.best_error,
                                                   result.best_iteration))

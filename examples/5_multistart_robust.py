@@ -48,15 +48,16 @@ N_STARTS = 64
 ITERATION_COUNT = 200
 
 
-def main():
+def main(iteration_count=ITERATION_COUNT, n_starts=N_STARTS,
+         log_iteration_step=20):
     result = grape_schroedinger_multistart(
         CONTROL_COUNT, CONTROL_EVAL_COUNT, COSTS, EVOLUTION_TIME,
         ENSEMBLE_HAMILTONIAN, INITIAL_STATES, SYSTEM_EVAL_COUNT,
-        n_starts=N_STARTS, complex_controls=True,
-        hamiltonian_params=DETUNINGS, iteration_count=ITERATION_COUNT,
-        log_iteration_step=20, min_error=1e-4)
+        n_starts=n_starts, complex_controls=True,
+        hamiltonian_params=DETUNINGS, iteration_count=iteration_count,
+        log_iteration_step=log_iteration_step, min_error=1e-4)
     print("winner: ensemble-mean error {} ({} candidates, spread {:.2e} - "
-          "{:.2e})".format(result.best_error, N_STARTS,
+          "{:.2e})".format(result.best_error, n_starts,
                            result.errors.min(), result.errors.max()))
     return result
 

@@ -90,13 +90,14 @@ SAVE_PATH = "./out"
 SAVE_FILE_NAME = "tutorial"
 
 
-def main():
-    save_file_path = generate_save_file_path(SAVE_FILE_NAME, SAVE_PATH)
+def main(iteration_count=ITERATION_COUNT, save_path=SAVE_PATH,
+         log_iteration_step=1):
+    save_file_path = generate_save_file_path(SAVE_FILE_NAME, save_path)
     result = grape_schroedinger_discrete(
         CONTROL_COUNT, CONTROL_EVAL_COUNT, COSTS, EVOLUTION_TIME,
         hamiltonian, INITIAL_STATES, SYSTEM_EVAL_COUNT,
-        complex_controls=COMPLEX_CONTROLS, iteration_count=ITERATION_COUNT,
-        log_iteration_step=1, optimizer=LBFGSB(),
+        complex_controls=COMPLEX_CONTROLS, iteration_count=iteration_count,
+        log_iteration_step=log_iteration_step, optimizer=LBFGSB(),
         save_file_path=save_file_path, save_iteration_step=1)
     print("best error: {} at iteration {}".format(result.best_error,
                                                   result.best_iteration))
