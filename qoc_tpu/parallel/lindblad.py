@@ -458,11 +458,6 @@ def grape_lindblad_multistart(control_count, control_eval_count, costs,
     base_controls, max_control_norms = initialize_controls(
         complex_controls, control_count, control_eval_count, evolution_time,
         initial_controls, max_control_norms)
-    if ensemble and save_file_path is not None and save_iteration_step:
-        raise ValueError("H5 winner rows are not yet supported for ensemble "
-                         "multistart (member-stacked final densities do not "
-                         "fit the reference schema); set "
-                         "save_iteration_step=0 for checkpoint-only saving.")
     pstate = GrapeLindbladDiscreteState(
         complex_controls, control_count, control_eval_count, cost_eval_step,
         costs, evolution_time, hamiltonian, None, base_controls,
@@ -475,6 +470,13 @@ def grape_lindblad_multistart(control_count, control_eval_count, costs,
     pstate.rtol = rtol
     pstate.rkdp5_max_steps = rkdp5_max_steps
     pstate.magnus_policy_ = magnus_policy
+    if ensemble:
+        # Member-extended H5 schema (as in grape_lindblad_ensemble): winner
+        # rows carry (n_members, K, d, d) final densities plus the
+        # hamiltonian_params dataset.
+        pstate.evolved_shape = ((n_members,)
+                                + np.asarray(initial_densities).shape)
+        pstate.ensemble_params = hamiltonian_params
     if method == LindbladMethod.RKDP5:
         # See build_lindblad_ensemble_loss: the adaptive stepper's nested
         # scan/cond structure trips JAX 0.9's varying-axis checker under
@@ -513,9 +515,27 @@ def grape_lindblad_multistart(control_count, control_eval_count, costs,
 
     states_fn = None
     if pstate.should_save:
-        plain_loss = build_lindblad_loss(pstate)
-        states_fn = jax.jit(
-            lambda f: plain_loss(slap_controls_jax(cc, f, shape))[1])
+        if ensemble:
+            members_h = hamiltonian_params.astype(
+                np_complex_dtype() if np.iscomplexobj(hamiltonian_params)
+                else np_real_dtype())
+
+            def member_densities_fn(f, row):
+                controls = slap_controls_jax(cc, f, shape)
+                override = lambda c, t: hamiltonian(row, c, t)
+                mloss = build_lindblad_loss(pstate,
+                                            hamiltonian_override=override)
+                return mloss(controls)[1]
+
+            # Members embed as a trace-time numpy constant (complex jit
+            # arguments are rejected by the axon backend).
+            states_fn = jax.jit(lambda f: jax.vmap(
+                lambda row: member_densities_fn(f, row))(
+                    jnp.asarray(members_h)))
+        else:
+            plain_loss = build_lindblad_loss(pstate)
+            states_fn = jax.jit(
+                lambda f: plain_loss(slap_controls_jax(cc, f, shape))[1])
 
     winning_flat = run_multistart(
         pstate, result, mesh, shard_loss_sum, n_starts, ensemble, n_members,

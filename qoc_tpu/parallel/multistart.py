@@ -90,10 +90,11 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     reaches it. ``save_file_path``/``save_iteration_step`` write standard
     GRAPE H5 rows for the PER-ITERATION winning candidate (its evaluated
     error/controls/gradients; final states recomputed by one forward
-    dispatch per save row) — live-plottable with the usual tooling. H5
-    winner rows are not yet supported together with ``hamiltonian_params``
-    (member-stacked states do not fit the reference schema); checkpointing
-    (``save_file_path`` with ``save_iteration_step=0``) works for both.
+    dispatch per save row) — live-plottable with the usual tooling. With
+    ``hamiltonian_params`` the rows use the member-extended schema
+    (``final_states :: (save_count, n_members, K, d, 1)`` plus a
+    ``hamiltonian_params`` dataset), exactly like
+    ``grape_schroedinger_ensemble``.
 
     With ``save_file_path`` set, the full candidate state (params, Adam
     moments, done flags, bests) is checkpointed at every chunk boundary;
@@ -136,11 +137,6 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     base_controls, max_control_norms = initialize_controls(
         complex_controls, control_count, control_eval_count, evolution_time,
         initial_controls, max_control_norms)
-    if ensemble and save_file_path is not None and save_iteration_step:
-        raise ValueError("H5 winner rows are not yet supported for ensemble "
-                         "multistart (member-stacked final states do not "
-                         "fit the reference schema); set "
-                         "save_iteration_step=0 for checkpoint-only saving.")
     pstate = GrapeSchroedingerDiscreteState(
         complex_controls, control_count, control_eval_count, cost_eval_step,
         costs, evolution_time, hamiltonian, None, base_controls,
@@ -148,6 +144,13 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
         log_iteration_step, max_control_norms, magnus_policy, min_error,
         optimizer, save_file_path, False, save_iteration_step,
         system_eval_count)
+    if ensemble:
+        # Member-extended H5 schema (as in grape_schroedinger_ensemble):
+        # winner rows carry (n_members, K, d, 1) final states plus the
+        # hamiltonian_params dataset.
+        pstate.evolved_shape = ((n_members,)
+                                + np.asarray(initial_states).shape)
+        pstate.ensemble_params = hamiltonian_params
     if resume_from is not None:
         apply_resume(pstate, resume_from)
     if pstate.should_save:
@@ -184,9 +187,26 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
 
     states_fn = None
     if pstate.should_save:
-        plain_loss = build_schroedinger_loss(pstate)
-        states_fn = jax.jit(
-            lambda f: plain_loss(slap_controls_jax(cc, f, shape))[1])
+        if ensemble:
+            members_h = hamiltonian_params.astype(
+                np_complex_dtype() if np.iscomplexobj(hamiltonian_params)
+                else np_real_dtype())
+
+            def member_states(f, row):
+                controls = slap_controls_jax(cc, f, shape)
+                override = lambda c, t: hamiltonian(row, c, t)
+                mloss = build_schroedinger_loss(
+                    pstate, hamiltonian_override=override)
+                return mloss(controls)[1]
+
+            # Members embed as a trace-time numpy constant (complex jit
+            # arguments are rejected by the axon backend).
+            states_fn = jax.jit(lambda f: jax.vmap(
+                lambda row: member_states(f, row))(jnp.asarray(members_h)))
+        else:
+            plain_loss = build_schroedinger_loss(pstate)
+            states_fn = jax.jit(
+                lambda f: plain_loss(slap_controls_jax(cc, f, shape))[1])
 
     winning_flat = run_multistart(
         pstate, result, mesh, shard_loss_sum, n_starts, ensemble, n_members,

@@ -292,3 +292,35 @@ def test_lindblad_multistart_rejects_host_only_optimizer():
         grape_lindblad_multistart(
             1, 7, costs, 5.0, initial, 2, n_starts=4,
             lindblad_data=lindblad_data, optimizer=LBFGSB())
+
+
+def test_lindblad_multistart_ensemble_h5_winner_rows(tmp_path):
+    """Ensemble Lindblad multistart writes member-extended winner rows;
+    each row's member-stacked final densities match per-member evolve
+    recomputation at the saved winner controls."""
+    import h5py
+    ens_ham, members, initial, costs, lindblad_data = _problem()
+    path = str(tmp_path / "00000_ms_lens.h5")
+    result = grape_lindblad_multistart(
+        1, 7, costs, 5.0, initial, 21, n_starts=8, complex_controls=True,
+        hamiltonian=ens_ham, hamiltonian_params=members,
+        lindblad_data=lindblad_data, iteration_count=4,
+        log_iteration_step=0, method=LindbladMethod.MAGNUS_EXPM,
+        optimizer=Adam(learning_rate=0.05), save_file_path=path,
+        save_iteration_step=2)
+    with h5py.File(path, "r") as f:
+        finals = np.asarray(f["final_densities"])
+        controls_rows = np.asarray(f["controls"])
+        saved_members = np.asarray(f["hamiltonian_params"])
+        errors = np.asarray(f["error"])
+    assert finals.shape == (2, 4, 1, 2, 2)
+    assert np.allclose(saved_members, members)
+    assert np.isfinite(errors).all()
+    for m in range(4):
+        ev = evolve_lindblad_discrete(
+            5.0, initial, 21, controls=controls_rows[1],
+            hamiltonian=ens_ham.member(members[m]),
+            lindblad_data=lindblad_data,
+            method=LindbladMethod.MAGNUS_EXPM)
+        assert np.allclose(ev.final_densities, finals[1, m], atol=1e-7)
+    assert result.best_final_densities.shape == (4, 1, 2, 2)

@@ -272,17 +272,37 @@ def test_multistart_resume_rejects_single_run_checkpoint(tmp_path):
             mesh=make_mesh(8, axis_name="candidate"))
 
 
-def test_multistart_ensemble_save_rejected():
+def test_multistart_ensemble_h5_winner_rows(tmp_path):
+    """Ensemble multistart writes member-extended winner rows (leading
+    member axis on final_states + a hamiltonian_params dataset); each row's
+    member-stacked final states must match per-member evolve recomputation
+    at the saved winner controls."""
+    import h5py
+    from qoc_tpu import evolve_schroedinger_discrete
     h0 = np.asarray(SIGMA_Z) / 2
     a = get_annihilation_operator(2)
     ens_ham = EnsembleLinearHamiltonian(h0, np.stack((a,)), [h0])
     _, initial_states, costs = _problem()
-    with pytest.raises(ValueError, match="not yet supported"):
-        grape_schroedinger_multistart(
-            1, 21, costs, 10, ens_ham, initial_states, 21, n_starts=8,
-            complex_controls=True,
-            hamiltonian_params=np.zeros((2, 1)),
-            save_file_path="x.h5", save_iteration_step=1)
+    params = np.linspace(-0.05, 0.05, 4).reshape(-1, 1)
+    path = str(tmp_path / "00000_ms_ens.h5")
+    result = grape_schroedinger_multistart(
+        1, 21, costs, 10, ens_ham, initial_states, 21, n_starts=8,
+        complex_controls=True, hamiltonian_params=params, iteration_count=4,
+        log_iteration_step=0, save_file_path=path, save_iteration_step=2)
+    with h5py.File(path, "r") as f:
+        finals = np.asarray(f["final_states"])
+        controls_rows = np.asarray(f["controls"])
+        saved_params = np.asarray(f["hamiltonian_params"])
+        errors = np.asarray(f["error"])
+    assert finals.shape == (2, 4, 1, 2, 1)
+    assert np.allclose(saved_params, params)
+    assert np.all(errors < np.finfo(np.float64).max)
+    for m in range(4):
+        member_h = lambda c, t, _row=params[m]: ens_ham(_row, c, t)
+        ev = evolve_schroedinger_discrete(10, member_h, initial_states, 21,
+                                          controls=controls_rows[1])
+        assert np.allclose(finals[1, m], ev.final_states, atol=1e-7)
+    assert result.best_final_states.shape == (4, 1, 2, 1)
 
 
 def test_multistart_ensemble_hamiltonian_needs_params():
