@@ -159,7 +159,16 @@ def chain_fused_ok(d, n_steps, n_chains=1):
 
 
 def _build_m(w_t, basis_ref):
-    """(S, n_b) weights x (n_b, 2dp, 2dp) basis -> (S, 2dp, 2dp) generators."""
+    """(S, n_b) weights x (n_b, 2dp, 2dp) basis -> (S, 2dp, 2dp) generators.
+
+    This VPU einsum measures ~3.7 us/grid-step in isolation (n_b=21, S=8,
+    dp=64) but is FREE in context: it overlaps with the kernel's MXU dots
+    (VPU and MXU run concurrently). Hoisting the build to an XLA-level MXU
+    matmul feeding precomputed (re, im) generator planes into the kernel
+    was measured SLOWER on the headline workload (fwd+bwd 38.6 ms vs
+    35.2 ms on 1x v5e) — the extra HBM plane traffic costs more than the
+    hidden VPU time. Keep the build in-kernel.
+    """
     # Always exact-f32: the contraction is tiny (n_b terms) and errors in
     # the generator feed every downstream Taylor term.
     return jnp.einsum("sk,kab->sab", w_t, basis_ref[:],
