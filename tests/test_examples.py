@@ -17,7 +17,7 @@ EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 ALL_EXAMPLES = ("0_transmon_pi", "1_transmon_pi_decoherence", "tutorial",
                 "2_iswap_gate", "3_ensemble_robust", "4_cavity_transfer",
-                "5_multistart_robust")
+                "5_multistart_robust", "6_lindblad_ensemble_robust")
 
 
 def _import_example(name):
@@ -46,6 +46,7 @@ _RUN_SPECS = [
     ("3_ensemble_robust", {}, False),
     ("4_cavity_transfer", {}, False),
     ("5_multistart_robust", {"n_starts": 8}, False),
+    ("6_lindblad_ensemble_robust", {"n_starts": 8}, False),
 ]
 
 

@@ -324,3 +324,62 @@ def test_lindblad_multistart_ensemble_h5_winner_rows(tmp_path):
             method=LindbladMethod.MAGNUS_EXPM)
         assert np.allclose(ev.final_densities, finals[1, m], atol=1e-7)
     assert result.best_final_densities.shape == (4, 1, 2, 2)
+
+
+def test_lindblad_multistart_resume_reproduces_uninterrupted(tmp_path):
+    """Kill-at-chunk-boundary + resume_from on the Lindblad multistart
+    reproduces the uninterrupted run exactly (shared _msrunner checkpoint
+    machinery, exercised through the open-system driver)."""
+    ens_ham, members, initial, costs, lindblad_data = _problem()
+    kwargs = dict(n_starts=8, complex_controls=True,
+                  hamiltonian=ens_ham, hamiltonian_params=members,
+                  lindblad_data=lindblad_data, log_iteration_step=0,
+                  method=LindbladMethod.MAGNUS_EXPM,
+                  optimizer=Adam(learning_rate=0.05), fused_chunk=3)
+    full = grape_lindblad_multistart(
+        1, 7, costs, 5.0, initial, 21, iteration_count=9,
+        save_file_path=str(tmp_path / "00000_full.h5"),
+        save_iteration_step=3, **kwargs)
+    killed = str(tmp_path / "00000_killed.h5")
+    grape_lindblad_multistart(
+        1, 7, costs, 5.0, initial, 21, iteration_count=6,
+        save_file_path=killed, **kwargs)
+    resumed = grape_lindblad_multistart(
+        1, 7, costs, 5.0, initial, 21, iteration_count=9,
+        resume_from=killed, **kwargs)
+    assert resumed.iteration_count_ran == 3
+    assert np.array_equal(resumed.errors, full.errors)
+    assert np.array_equal(resumed.best_controls, full.best_controls)
+    assert resumed.best_error == full.best_error
+
+
+def test_lindblad_ensemble_intermediate_densities(tmp_path):
+    """save_intermediate_densities on the ensemble driver writes the
+    member-extended (S, M, K, d, d) layout; rows match per-member evolve
+    recomputation at the saved controls."""
+    import h5py
+    ens_ham, members, initial, costs, lindblad_data = _problem()
+    path = str(tmp_path / "00000_lint.h5")
+    grape_lindblad_ensemble(
+        1, 7, costs, 5.0, ens_ham, members, initial, 5,
+        complex_controls=True, iteration_count=2,
+        lindblad_data=lindblad_data, log_iteration_step=0,
+        method=LindbladMethod.MAGNUS_EXPM, mesh=make_mesh(4),
+        optimizer=Adam(learning_rate=0.05), save_file_path=path,
+        save_iteration_step=1, save_intermediate_densities=True)
+    with h5py.File(path, "r") as f:
+        inters = np.asarray(f["intermediate_densities"])
+        controls_rows = np.asarray(f["controls"])
+    assert inters.shape == (2, 5, 4, 1, 2, 2)
+    for m in range(4):
+        ev = evolve_lindblad_discrete(
+            5.0, initial, 5, controls=controls_rows[1],
+            hamiltonian=ens_ham.member(members[m]),
+            lindblad_data=lindblad_data,
+            method=LindbladMethod.MAGNUS_EXPM,
+            save_intermediate_densities=True,
+            save_file_path=str(tmp_path / "{:05d}_ev.h5".format(m + 1)))
+        with h5py.File(str(tmp_path / "{:05d}_ev.h5".format(m + 1)),
+                       "r") as f:
+            ev_inters = np.asarray(f["intermediate_densities"])
+        assert np.allclose(inters[1, :, m], ev_inters, atol=1e-8)
