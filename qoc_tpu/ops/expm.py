@@ -64,6 +64,40 @@ _THETA_13 = 5.371920351148152
 _MAX_SQUARINGS = 60
 
 
+def _split_planes(x):
+    """(hi, lo) bf16 split of every real component plane of ``x`` (complex
+    split componentwise), as full-precision arrays holding bf16-representable
+    values."""
+    if jnp.iscomplexobj(x):
+        rh, rl = _split_planes(jnp.real(x))
+        ih, il = _split_planes(jnp.imag(x))
+        return rh + 1j * ih, rl + 1j * il
+    hi = x.astype(jnp.bfloat16).astype(x.dtype)
+    return hi, x - hi
+
+
+def _mul(a, b):
+    """Matmul for the XLA Taylor/squaring cores.
+
+    With ``QOC_TPU_MXU_PRECISION=bf16_3x`` (the same opt-in as the Pallas
+    kernels) and single-precision inputs, each product runs as the 3-term
+    split-multiply ``x·y ≈ x_hi·y_hi + x_hi·y_lo + x_lo·y_hi`` at DEFAULT
+    MXU precision — the operands are already bf16-representable, so each
+    term is one bf16 pass per real product: 12 passes per complex64 matmul
+    vs 24 at ``Precision.HIGHEST``, ~2^-16 relative error per product (the
+    error model documented in docs/performance.md). This is what the d>256
+    fallback path (above the Pallas embedding limit) gains from the mode;
+    the library default stays exact-HIGHEST."""
+    from qoc_tpu.ops import expm_pallas as _ep
+    if _ep._MXU_MODE == "bf16_3x" and a.dtype in (jnp.complex64,
+                                                  jnp.float32):
+        ah, al = _split_planes(a)
+        bh, bl = _split_planes(b)
+        d = lambda x, y: jnp.matmul(x, y, precision=lax.Precision.DEFAULT)
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return mul(a, b)
+
+
 def _pade13_uv(a):
     """Odd/even polynomial halves (U, V) of the order-13 Padé approximant."""
     d = a.shape[-1]
@@ -116,9 +150,9 @@ def _taylor19(a):
     """
     d = a.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype), a.shape)
-    a2 = mul(a, a)
-    a3 = mul(a2, a)
-    a4 = mul(a2, a2)
+    a2 = _mul(a, a)
+    a3 = _mul(a2, a)
+    a4 = _mul(a2, a2)
     c = _TAYLOR_COEFFS
 
     def chunk(k):
@@ -127,10 +161,10 @@ def _taylor19(a):
 
     # Horner in A^4 over 5 degree-3 chunks: degrees 0..19.
     p = chunk(16)
-    p = mul(p, a4) + chunk(12)
-    p = mul(p, a4) + chunk(8)
-    p = mul(p, a4) + chunk(4)
-    p = mul(p, a4) + chunk(0)
+    p = _mul(p, a4) + chunk(12)
+    p = _mul(p, a4) + chunk(8)
+    p = _mul(p, a4) + chunk(4)
+    p = _mul(p, a4) + chunk(0)
     return p
 
 
@@ -138,13 +172,13 @@ def _taylor8(a):
     """Degree-8 Taylor polynomial by Paterson-Stockmeyer (4 matmuls)."""
     d = a.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype), a.shape)
-    a2 = mul(a, a)
-    a3 = mul(a2, a)
-    a4 = mul(a2, a2)
+    a2 = _mul(a, a)
+    a3 = _mul(a2, a)
+    a4 = _mul(a2, a2)
     c = _TAYLOR_COEFFS
     low = c[0] * eye + c[1] * a + c[2] * a2 + c[3] * a3
     high = c[4] * eye + c[5] * a + c[6] * a2 + c[7] * a3 + c[8] * a4
-    return low + mul(a4, high)
+    return low + _mul(a4, high)
 
 
 def _taylor_poly(a, norm_max):
@@ -248,7 +282,7 @@ def _expm_core(a, max_squarings=None, method=None):
     mask = s[..., None, None]
 
     def body(i, r_):
-        return jnp.where(i < mask, mul(r_, r_), r_)
+        return jnp.where(i < mask, _mul(r_, r_), r_)
 
     if max_squarings is None:
         s_max = jnp.max(s)

@@ -207,3 +207,42 @@ def test_pallas_platform_guard_mixed_backends(monkeypatch):
 # run kernels under shard_map(check_vma=True): its internal dynamic_slice
 # mixes varying and unvarying operands — a JAX limitation, not ours). The
 # _struct helper propagates the input vma so the compiled path composes.
+
+
+def test_xla_taylor_bf16_3x_split_mul(monkeypatch):
+    """The XLA Taylor path (the d>256 fallback above the Pallas embedding
+    limit) honors QOC_TPU_MXU_PRECISION=bf16_3x via the split-multiply
+    _mul: value and exact-adjoint gradient must stay within the mode's
+    ~2^-16/product error envelope of the HIGHEST-precision result, on
+    complex64 inputs; f64 inputs must be untouched by the mode."""
+    import qoc_tpu.ops.expm_pallas as ep
+    from qoc_tpu.ops.expm import expm_taylor, expm
+
+    rng = np.random.default_rng(33)
+    a = ((rng.normal(size=(3, 32, 32))
+          + 1j * rng.normal(size=(3, 32, 32))) * 0.2).astype(np.complex64)
+
+    def loss(x):
+        return jnp.real(jnp.sum(expm(x) * jnp.conj(expm(x))))
+
+    want = np.asarray(expm_taylor(jnp.asarray(a)))
+    gwant = np.asarray(jax.grad(lambda x: loss(x).astype(jnp.float32),
+                                holomorphic=False)(jnp.asarray(a)))
+    monkeypatch.setattr(ep, "_MXU_MODE", "bf16_3x")
+    jax.clear_caches()
+    try:
+        got = np.asarray(expm_taylor(jnp.asarray(a)))
+        ggot = np.asarray(jax.grad(lambda x: loss(x).astype(jnp.float32),
+                                   holomorphic=False)(jnp.asarray(a)))
+        # f64 input: the dtype guard must keep HIGHEST semantics.
+        a64 = a.astype(np.complex128)
+        got64 = np.asarray(expm_taylor(jnp.asarray(a64)))
+    finally:
+        monkeypatch.setattr(ep, "_MXU_MODE", "highest")
+        jax.clear_caches()
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-3, rel
+    grel = np.abs(ggot - gwant).max() / np.abs(gwant).max()
+    assert grel < 5e-3, grel
+    ref64 = sla.expm(a64[0])
+    assert np.abs(got64[0] - ref64).max() / np.abs(ref64).max() < 1e-12
