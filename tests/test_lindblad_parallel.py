@@ -383,3 +383,35 @@ def test_lindblad_ensemble_intermediate_densities(tmp_path):
                        "r") as f:
             ev_inters = np.asarray(f["intermediate_densities"])
         assert np.allclose(inters[1, :, m], ev_inters, atol=1e-8)
+
+
+def test_lindblad_ensemble_resume_reproduces_uninterrupted(tmp_path):
+    """resume_from on the Lindblad ensemble driver restores params + Adam
+    moments + iteration numbering; the extended run's member-extended H5
+    rows must equal the uninterrupted run's."""
+    import h5py
+    ens_ham, members, initial, costs, lindblad_data = _problem()
+    kwargs = dict(complex_controls=True, lindblad_data=lindblad_data,
+                  log_iteration_step=0, mesh=make_mesh(4),
+                  method=LindbladMethod.MAGNUS_EXPM, save_iteration_step=1,
+                  fused_chunk=3)
+
+    def run(path, iteration_count, **extra):
+        return grape_lindblad_ensemble(
+            1, 7, costs, 5.0, ens_ham, members, initial, 5,
+            iteration_count=iteration_count, save_file_path=path,
+            optimizer=Adam(learning_rate=0.05), **kwargs, **extra)
+
+    full_path = str(tmp_path / "00000_full.h5")
+    run(full_path, 10)
+    part_path = str(tmp_path / "00000_part.h5")
+    run(part_path, 5)
+    resumed = run(part_path, 10, resume_from=part_path)
+    assert resumed.iteration_count_ran == 5
+    with h5py.File(full_path, "r") as f_full, \
+            h5py.File(part_path, "r") as f_res:
+        assert np.allclose(np.asarray(f_full["error"]),
+                           np.asarray(f_res["error"]), atol=1e-12)
+        assert np.allclose(np.asarray(f_full["controls"]),
+                           np.asarray(f_res["controls"]), atol=1e-12)
+        assert np.asarray(f_res["final_densities"]).shape == (10, 4, 1, 2, 2)
