@@ -232,6 +232,14 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields,
 
     vg = jax.value_and_grad(loss_flat, has_aux=True)
 
+    def projected_loss(flat_params):
+        """Scalar loss through the same clip projection as the main
+        evaluation — the line-search view of the objective for
+        ``needs_loss`` optimizers (LBFGS)."""
+        controls_ = slap_controls_jax(cc, flat_params, shape)
+        clipped_ = clip_control_norms_jax(controls_, mcn)
+        return loss_flat(strip_controls_jax(cc, clipped_))[0]
+
     def iteration_step(carry, _):
         params, opt_state, done, best = carry
         controls = slap_controls_jax(cc, params, shape)
@@ -240,8 +248,12 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields,
         (error, final_evolved), grads = vg(clipped_flat)
         grads_norm = jnp.linalg.norm(grads)
 
-        new_opt_state, new_params = optimizer.update_jax(opt_state, grads,
-                                                         params)
+        if getattr(optimizer, "needs_loss", False):
+            new_opt_state, new_params = optimizer.update_jax(
+                opt_state, grads, params, error, projected_loss)
+        else:
+            new_opt_state, new_params = optimizer.update_jax(opt_state,
+                                                             grads, params)
         # Freeze everything once terminated; `valid` marks rows that really
         # ran (the terminating evaluation itself is still valid/logged).
         valid = ~done

@@ -1,0 +1,296 @@
+"""Device-resident limited-memory BFGS (qoc_tpu extension).
+
+The reference offers quasi-Newton optimization only through scipy's
+L-BFGS-B (/root/reference/qoc/standard/optimizers/lbfgsb.py:7-49), whose
+line search runs on the host and therefore cannot participate in the fused
+on-device GRAPE loop or the sharded multistart engine (every candidate's
+update must be a traced function of its own state). ``LBFGS`` is the
+TPU-native counterpart:
+
+- **two-loop recursion** over a fixed ``history``-slot circular buffer of
+  curvature pairs (statically unrolled — ``history`` is a compile-time
+  constant, so the whole direction computation is one small XLA graph);
+- **batched Armijo line search**: instead of a data-dependent backtracking
+  loop (which would put the propagation loss inside ``lax.while_loop`` —
+  hostile to both XLA scheduling and the axon compiler), a fixed geometric
+  ladder of ``ls_steps`` step sizes is evaluated as ``ls_steps`` forward
+  losses inside the same jit and the largest Armijo-feasible step is
+  selected with a masked argmax. If no rung is feasible, the best-loss rung
+  is taken when it improves on f0, else the step is 0 (curvature-pair
+  insertion is skipped automatically because s = 0 fails the curvature
+  condition);
+- curvature pairs are inserted **delayed-by-one**: the update call at
+  iterate x_k receives g(x_k), so the standard pair
+  (s = x_k − x_{k−1}, y = g_k − g_{k−1}) is formed from the previous
+  call's iterate/gradient carried in the state. Pairs failing the
+  curvature condition sᵀy > ε‖s‖‖y‖ are skipped (slot masked via ρ = 0).
+
+The optimizer state is a pure pytree of real arrays (plus one int32
+cursor), so the fused runner's chunk-boundary checkpoint/resume and the
+multistart engine's per-candidate ``vmap``/sharding work unchanged.
+
+A host-loop twin (``run``) mirrors the same math in numpy with sequential
+backtracking, used when a non-traceable ``impose_control_conditions`` hook
+forces the host path (core/graperunner.py:98-105).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["LBFGS"]
+
+
+class LBFGS:
+    name = "lbfgs"
+    supports_fused = True
+    # The fused runners pass a projected-loss closure so the traced update
+    # can line-search (graperunner._run_fused / _msrunner.iteration_step).
+    needs_loss = True
+
+    def __init__(self, history=8, ls_steps=6, initial_step=1.0,
+                 backtrack=0.5, c1=1e-4, operation_policy=None):
+        """history - curvature pairs kept (static; unrolled in the graph).
+        ls_steps - line-search ladder length; rung k trials
+            ``initial_step * backtrack**k``. Each rung costs one forward
+            loss evaluation per iteration (no gradient).
+        c1 - Armijo sufficient-decrease constant."""
+        if history < 1:
+            raise ValueError("history must be >= 1")
+        if ls_steps < 1:
+            raise ValueError("ls_steps must be >= 1")
+        self.history = int(history)
+        self.ls_steps = int(ls_steps)
+        self.initial_step = float(initial_step)
+        self.backtrack = float(backtrack)
+        self.c1 = float(c1)
+        # Host-path state (mirrors Adam's host/device split).
+        self._host = None
+
+    def __str__(self):
+        return ("{}, history: {}, ls_steps: {}, initial_step: {}, "
+                "backtrack: {}, c1: {}".format(
+                    self.name, self.history, self.ls_steps,
+                    self.initial_step, self.backtrack, self.c1))
+
+    def _alphas(self, dtype):
+        return (self.initial_step
+                * self.backtrack ** np.arange(self.ls_steps)).astype(dtype)
+
+    # -- fused on-device path ----------------------------------------------
+
+    def init_state(self, params):
+        m, n = self.history, params.size
+        dt = params.dtype
+        return {
+            "s": jnp.zeros((m, n), dtype=dt),
+            "y": jnp.zeros((m, n), dtype=dt),
+            "rho": jnp.zeros((m,), dtype=dt),
+            "gamma": jnp.zeros((), dtype=dt),
+            "prev_params": jnp.zeros((n,), dtype=dt),
+            "prev_grads": jnp.zeros((n,), dtype=dt),
+            "have_prev": jnp.zeros((), dtype=dt),
+            "t": jnp.zeros((), dtype=jnp.int32),
+        }
+
+    def _direction(self, state, grads):
+        """Two-loop recursion: d = −H·g with the implicit inverse Hessian.
+        Inactive slots (ρ = 0) contribute nothing; newest pair first."""
+        m = self.history
+        cursor = state["t"]
+        q = grads
+        alphas, idxs = [], []
+        for j in range(m):
+            idx = jnp.mod(cursor - 1 - j, m)
+            s_j, y_j, rho_j = state["s"][idx], state["y"][idx], \
+                state["rho"][idx]
+            a = rho_j * jnp.dot(s_j, q)
+            q = q - jnp.where(rho_j > 0, a, 0.0) * y_j
+            alphas.append(a)
+            idxs.append(idx)
+        gnorm = jnp.linalg.norm(grads)
+        gamma = jnp.where(state["gamma"] > 0, state["gamma"],
+                          1.0 / jnp.maximum(gnorm, 1.0))
+        r = gamma * q
+        for j in reversed(range(m)):
+            idx = idxs[j]
+            s_j, y_j, rho_j = state["s"][idx], state["y"][idx], \
+                state["rho"][idx]
+            b = rho_j * jnp.dot(y_j, r)
+            r = r + jnp.where(rho_j > 0, alphas[j] - b, 0.0) * s_j
+        d = -r
+        gtd = jnp.dot(grads, d)
+        # Descent safeguard: a stale/indefinite history can yield an ascent
+        # direction — fall back to scaled steepest descent.
+        fallback = -gamma * grads
+        bad = gtd >= 0
+        d = jnp.where(bad, fallback, d)
+        gtd = jnp.where(bad, -gamma * gnorm * gnorm, gtd)
+        return d, gtd
+
+    def _select_step(self, f0, gtd, losses):
+        """losses - (ls_steps,) trial losses on the descending ladder.
+        Largest Armijo-feasible rung (= classic backtracking's first
+        accept); best-improving rung if none is feasible; 0 otherwise."""
+        alphas = jnp.asarray(self._alphas(np.dtype(losses.dtype).name))
+        armijo = losses <= f0 + self.c1 * alphas * gtd
+        first_ok = jnp.argmax(armijo)           # first True (ladder order)
+        any_ok = jnp.any(armijo)
+        best_k = jnp.argmin(losses)
+        improves = losses[best_k] < f0
+        k = jnp.where(any_ok, first_ok, best_k)
+        return jnp.where(any_ok | improves, alphas[k],
+                         jnp.zeros((), dtype=losses.dtype))
+
+    def _advance(self, state, params, grads):
+        """Insert the delayed curvature pair and roll the previous iterate."""
+        m = self.history
+        s = params - state["prev_params"]
+        y = grads - state["prev_grads"]
+        sy = jnp.dot(s, y)
+        ss = jnp.dot(s, s)
+        yy = jnp.dot(y, y)
+        good = ((state["have_prev"] > 0.5)
+                & (sy > 1e-10 * jnp.sqrt(ss * yy) + 1e-30))
+        idx = jnp.mod(state["t"], m)
+        rho_val = jnp.where(good, 1.0 / jnp.maximum(sy, 1e-30), 0.0)
+        s_buf = jnp.where(good, state["s"].at[idx].set(s), state["s"])
+        y_buf = jnp.where(good, state["y"].at[idx].set(y), state["y"])
+        rho_buf = jnp.where(good, state["rho"].at[idx].set(rho_val),
+                            state["rho"])
+        gamma = jnp.where(good, sy / jnp.maximum(yy, 1e-30), state["gamma"])
+        t = state["t"] + good.astype(jnp.int32)
+        return {"s": s_buf, "y": y_buf, "rho": rho_buf, "gamma": gamma,
+                "prev_params": params, "prev_grads": grads,
+                "have_prev": jnp.ones((), dtype=params.dtype),
+                "t": t}
+
+    def update_jax(self, state, grads, params, f0, loss_fn):
+        """One traced L-BFGS update. ``loss_fn(flat_params) -> scalar`` is
+        the clip-projected loss; ``f0`` its value at the current iterate.
+        The ladder is a static Python loop — ``ls_steps`` forward losses in
+        one jit (vmap-free, so Pallas-backed losses lower unchanged)."""
+        state = self._advance(state, params, grads)
+        d, gtd = self._direction(state, grads)
+        alphas = self._alphas(np.dtype(params.dtype.name).name)
+        losses = jnp.stack([loss_fn(params + a * d) for a in alphas])
+        alpha = self._select_step(f0, gtd, losses)
+        return state, params + alpha * d
+
+    def update_jax_batch(self, state, grads, params, f0, batch_loss):
+        """Candidate-batched twin for the multistart engine: every array has
+        a leading candidate axis; ``batch_loss((C, n)) -> (C,)`` evaluates
+        all candidates' projected losses (one sharded forward per ladder
+        rung, so collectives inside the loss stay shard_map-legal — an
+        outer vmap would not compose with lax.psum)."""
+        state = jax.vmap(self._advance)(state, params, grads)
+        d, gtd = jax.vmap(self._direction)(state, grads)
+        alphas = self._alphas(np.dtype(params.dtype.name).name)
+        losses = jnp.stack([batch_loss(params + a * d) for a in alphas])
+        alpha = jax.vmap(self._select_step)(f0, gtd, losses.T)
+        return state, params + alpha[:, None] * d
+
+    # -- host-loop path (impose_control_conditions) -------------------------
+
+    def run(self, function, iteration_count, initial_params, jacobian,
+            args=()):
+        """Host loop matching the fused math, with sequential backtracking
+        (data-dependent control flow is free on the host). ``function``
+        returns (error, terminate); ``jacobian`` returns (grads, terminate).
+        Each call costs one device dispatch (graperunner caches the pair)."""
+        params = np.asarray(initial_params, dtype=float)
+        n = params.size
+        m = self.history
+        if getattr(self, "_warm_start", False):
+            self._warm_start = False
+        else:
+            self._host = {
+                "s": np.zeros((m, n)), "y": np.zeros((m, n)),
+                "rho": np.zeros(m), "gamma": 0.0,
+                "prev_params": np.zeros(n), "prev_grads": np.zeros(n),
+                "have_prev": 0.0, "t": 0,
+            }
+        h = self._host
+        for _ in range(iteration_count):
+            grads, terminate = jacobian(params, *args)
+            if terminate:
+                break
+            grads = np.asarray(grads, dtype=float)
+            self._advance_np(h, params, grads)
+            d, gtd = self._direction_np(h, grads)
+            f0, _ = function(params, *args)
+            alpha = 0.0
+            best_alpha, best_f = 0.0, f0
+            for a in self._alphas(float):
+                f_trial, _ = function(params + a * d, *args)
+                if f_trial <= f0 + self.c1 * a * gtd:
+                    alpha = a
+                    break
+                if f_trial < best_f:
+                    best_alpha, best_f = a, f_trial
+            if alpha == 0.0:
+                alpha = best_alpha
+            params = params + alpha * d
+
+    def _advance_np(self, h, params, grads):
+        m = self.history
+        s = params - h["prev_params"]
+        y = grads - h["prev_grads"]
+        sy = float(s @ y)
+        good = (h["have_prev"] > 0.5
+                and sy > 1e-10 * np.sqrt((s @ s) * (y @ y)) + 1e-30)
+        if good:
+            idx = h["t"] % m
+            h["s"][idx] = s
+            h["y"][idx] = y
+            h["rho"][idx] = 1.0 / sy
+            h["gamma"] = sy / max(float(y @ y), 1e-30)
+            h["t"] += 1
+        h["prev_params"] = params.copy()
+        h["prev_grads"] = grads.copy()
+        h["have_prev"] = 1.0
+
+    def _direction_np(self, h, grads):
+        m = self.history
+        q = grads.copy()
+        alphas = np.zeros(m)
+        idxs = [(h["t"] - 1 - j) % m for j in range(m)]
+        for j, idx in enumerate(idxs):
+            if h["rho"][idx] > 0:
+                alphas[j] = h["rho"][idx] * (h["s"][idx] @ q)
+                q -= alphas[j] * h["y"][idx]
+        gamma = (h["gamma"] if h["gamma"] > 0
+                 else 1.0 / max(np.linalg.norm(grads), 1.0))
+        r = gamma * q
+        for j in reversed(range(m)):
+            idx = idxs[j]
+            if h["rho"][idx] > 0:
+                beta = h["rho"][idx] * (h["y"][idx] @ r)
+                r += (alphas[j] - beta) * h["s"][idx]
+        d = -r
+        gtd = float(grads @ d)
+        if gtd >= 0:
+            d = -gamma * grads
+            gtd = -gamma * float(grads @ grads)
+        return d, gtd
+
+    # -- checkpoint support --------------------------------------------------
+
+    def state_dict(self):
+        if self._host is None:
+            return {}
+        out = {key: np.asarray(value) for key, value in self._host.items()}
+        return out
+
+    def load_state_dict(self, state):
+        self._host = {
+            "s": np.asarray(state["s"], dtype=float),
+            "y": np.asarray(state["y"], dtype=float),
+            "rho": np.asarray(state["rho"], dtype=float),
+            "gamma": float(state["gamma"]),
+            "prev_params": np.asarray(state["prev_params"], dtype=float),
+            "prev_grads": np.asarray(state["prev_grads"], dtype=float),
+            "have_prev": float(state["have_prev"]),
+            "t": int(state["t"]),
+        }

@@ -65,7 +65,8 @@ def validate_multistart_entry(optimizer, driver_name, single_driver_name,
     if not getattr(optimizer, "supports_fused", False):
         raise ValueError(
             "{} requires an optimizer with a traced update rule "
-            "(optimizer.supports_fused, e.g. Adam/SGD): every candidate's "
+            "(optimizer.supports_fused, e.g. Adam/SGD/LBFGS): every "
+            "candidate's "
             "update runs device-resident inside the sharded iteration step. "
             "{} is host-loop only — run it through {} per candidate instead."
             "".format(driver_name, type(optimizer).__name__,
@@ -127,6 +128,20 @@ def run_multistart(pstate, result, mesh, shard_loss_sum, n_starts,
     collect_saves = pstate.should_save
     n_cand_shards = mesh.shape.get(CANDIDATE_AXIS, 1)
 
+    def batch_projected_loss(params_batch):
+        """(C_s, nflat) candidate params -> (C_s,) clip-projected losses;
+        the line-search view for ``needs_loss`` optimizers (LBFGS). One
+        sharded forward per call keeps the ensemble psum shard_map-legal."""
+        controls_ = jax.vmap(
+            lambda p: slap_controls_jax(cc, p, shape))(params_batch)
+        clipped_ = jax.vmap(
+            lambda c: clip_control_norms_jax(c, jnp.asarray(mcn)))(controls_)
+        flat_ = jax.vmap(lambda c: strip_controls_jax(cc, c))(clipped_)
+        _, errors_ = shard_loss_sum(flat_)
+        if ensemble:
+            errors_ = lax.psum(errors_, ENSEMBLE_AXIS) / n_members
+        return errors_
+
     def iteration_step(carry):
         (params, opt_state, done, best_err, best_flat, best_iter,
          it) = carry
@@ -139,8 +154,12 @@ def run_multistart(pstate, result, mesh, shard_loss_sum, n_starts,
         if ensemble:
             errors = lax.psum(errors, ENSEMBLE_AXIS) / n_members
             grads = lax.psum(grads, ENSEMBLE_AXIS) / n_members
-        new_opt_state, new_params = jax.vmap(optimizer.update_jax)(
-            opt_state, grads, params)
+        if getattr(optimizer, "needs_loss", False):
+            new_opt_state, new_params = optimizer.update_jax_batch(
+                opt_state, grads, params, errors, batch_projected_loss)
+        else:
+            new_opt_state, new_params = jax.vmap(optimizer.update_jax)(
+                opt_state, grads, params)
         valid = ~done
         improved = valid & (errors < best_err)
         best_err = jnp.where(improved, errors, best_err)

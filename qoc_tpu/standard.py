@@ -41,7 +41,7 @@ from qoc_tpu.ops import (
     matrix_to_column_vector_list,
     rms_norm,
 )
-from qoc_tpu.optim import LBFGSB, SGD, Adam
+from qoc_tpu.optim import LBFGS, LBFGSB, SGD, Adam
 from qoc_tpu.plot import (
     plot_controls,
     plot_density_population,
@@ -55,7 +55,7 @@ __all__ = [
     "TargetDensityInfidelityTime", "TargetStateInfidelity",
     "TargetStateInfidelityTime",
     # optimizers
-    "Adam", "LBFGSB", "SGD",
+    "Adam", "LBFGS", "LBFGSB", "SGD",
     # functions
     "expm", "expm_eigh", "expm_pade", "commutator", "conjugate_transpose",
     "krons", "matmuls", "rms_norm", "column_vector_list_to_matrix",
