@@ -150,6 +150,55 @@ def test_multistart_lbfgs_sharded_matches_single_device():
     assert np.allclose(sharded.errors, single.errors, atol=1e-9)
 
 
+def test_ensemble_lbfgs_on_virtual_mesh():
+    """Ensemble-robust GRAPE (psum-reduced members inside shard_map) with
+    the quasi-Newton update: the line-search forwards re-enter the sharded
+    loss, so collectives must stay legal."""
+    from qoc_tpu.parallel import grape_schroedinger_ensemble
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    ad = a.conj().T
+
+    def hamiltonian(params, c, t):
+        return ((1.0 + params[0]) * h0 + c[0] * a
+                + jnp.conjugate(c[0]) * ad)
+
+    initial_states = np.array([[[1.0], [0.0]]])
+    target_states = np.array([[[0.0], [1.0]]])
+    costs = [TargetStateInfidelity(target_states)]
+    members = np.linspace(-0.05, 0.05, 8).reshape(-1, 1)
+    result = grape_schroedinger_ensemble(
+        1, 11, costs, 10, hamiltonian, members, initial_states, 11,
+        complex_controls=True, iteration_count=15, log_iteration_step=0,
+        optimizer=LBFGS(), mesh=make_mesh(8))
+    assert np.isfinite(result.best_error)
+    assert result.best_error < 5e-3   # robust across the detuning spread
+
+
+def test_grape_lindblad_lbfgs_magnus_expm():
+    """Open-system GRAPE with the device L-BFGS (superoperator MAGNUS_EXPM
+    path); the Frobenius density-infidelity floor for pure targets at d=2
+    is 0.5 — quasi-Newton should approach it in a small budget."""
+    from qoc_tpu import grape_lindblad_discrete
+    from qoc_tpu.models import LindbladMethod
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    ad = a.conj().T
+    hamiltonian = lambda c, t: (h0 + c[0] * jnp.asarray(a)
+                                + jnp.conjugate(c[0]) * jnp.asarray(ad))
+    initial = np.array([[[1.0, 0.0], [0.0, 0.0]]], dtype=complex)
+    target = np.array([[[0.0, 0.0], [0.0, 1.0]]], dtype=complex)
+    lindblad_data = lambda t: (np.array([1e-3]), np.stack([a]))
+    from qoc_tpu.standard import TargetDensityInfidelity
+    result = grape_lindblad_discrete(
+        1, 11, [TargetDensityInfidelity(target)], 10, initial, 11,
+        complex_controls=True, hamiltonian=hamiltonian, iteration_count=25,
+        lindblad_data=lindblad_data, log_iteration_step=0,
+        max_control_norms=np.array([5.0]),
+        method=LindbladMethod.MAGNUS_EXPM, optimizer=LBFGS())
+    assert result.best_error < 0.55
+
+
 def test_grape_lbfgs_resume_reproduces_uninterrupted(tmp_path):
     """Kill at iteration 6 of 12 and resume: the generic opt-state snapshot
     must round-trip the L-BFGS history buffers (incl. the int32 cursor
