@@ -97,6 +97,10 @@ def main(iteration_count=ITERATION_COUNT, save_path=SAVE_PATH,
         CONTROL_COUNT, CONTROL_EVAL_COUNT, COSTS, EVOLUTION_TIME,
         hamiltonian, INITIAL_STATES, SYSTEM_EVAL_COUNT,
         complex_controls=COMPLEX_CONTROLS, iteration_count=iteration_count,
+        # LBFGSB() = the reference's scipy host path, kept for parity.
+        # qoc_tpu.optim.LBFGS() is the device-resident quasi-Newton twin:
+        # it stays inside the fused on-device loop (and supports min_error,
+        # resume, ensembles, multistart) — prefer it on TPU.
         log_iteration_step=log_iteration_step, optimizer=LBFGSB(),
         save_file_path=save_file_path, save_iteration_step=1)
     print("best error: {} at iteration {}".format(result.best_error,

@@ -165,9 +165,25 @@ def _run_host(pstate, result, loss_flat, evolved_key, result_fields,
         state["cache_val"] = val
         return val
 
-    def function_wrap(params):
-        _, error, _, _ = evaluate(params)
-        return error, error <= pstate.min_error
+    if getattr(optimizer, "needs_loss", False):
+        # Host L-BFGS line searches probe many trial points wanting only
+        # the loss — a forward-only dispatch costs ~1/3 of value_and_grad.
+        # The vg cache is still consulted first (f0 at the current iterate
+        # is free right after the jacobian call).
+        loss_only = jax.jit(lambda p: loss_flat(p)[0])
+
+        def function_wrap(params):
+            params = np.asarray(params)
+            if state["cache_key"] == params.tobytes():
+                _, error, _, _ = state["cache_val"]
+            else:
+                clipped_flat = strip_controls(cc, prepare(params))
+                error = float(loss_only(jnp.asarray(clipped_flat)))
+            return error, error <= pstate.min_error
+    else:
+        def function_wrap(params):
+            _, error, _, _ = evaluate(params)
+            return error, error <= pstate.min_error
 
     def jacobian_wrap(params):
         controls, error, final_evolved, grads_flat = evaluate(params)
