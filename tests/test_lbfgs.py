@@ -175,6 +175,32 @@ def test_ensemble_lbfgs_on_virtual_mesh():
     assert result.best_error < 5e-3   # robust across the detuning spread
 
 
+def test_multistart_lbfgs_resume_reproduces_uninterrupted(tmp_path):
+    """Kill-at-chunk-boundary + resume_from with the L-BFGS candidate
+    carry: the (history, n) curvature buffers, ρ/γ scalars, and int32
+    cursor must round-trip the float-cast checkpoint restore per
+    candidate."""
+    hamiltonian, initial_states, costs = _grape_problem()
+    kwargs = dict(n_starts=8, complex_controls=True, log_iteration_step=0,
+                  system_eval_count=21, fused_chunk=4,
+                  mesh=make_mesh(8, axis_name="candidate"))
+    full = grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states, iteration_count=12,
+        optimizer=LBFGS(), save_file_path=str(tmp_path / "00000_full.h5"),
+        **kwargs)
+    killed_path = str(tmp_path / "00000_killed.h5")
+    grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states, iteration_count=8,
+        optimizer=LBFGS(), save_file_path=killed_path, **kwargs)
+    resumed = grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states, iteration_count=12,
+        optimizer=LBFGS(), resume_from=killed_path, **kwargs)
+    assert resumed.iteration_count_ran == 4
+    assert np.array_equal(resumed.errors, full.errors)
+    assert np.array_equal(resumed.best_controls, full.best_controls)
+    assert resumed.best_error == full.best_error
+
+
 def test_grape_lindblad_lbfgs_magnus_expm():
     """Open-system GRAPE with the device L-BFGS (superoperator MAGNUS_EXPM
     path); the Frobenius density-infidelity floor for pure targets at d=2
