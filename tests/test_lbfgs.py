@@ -175,6 +175,24 @@ def test_ensemble_lbfgs_on_virtual_mesh():
     assert result.best_error < 5e-3   # robust across the detuning spread
 
 
+def test_grape_lbfgs_fused_matches_host_loop():
+    """The device ladder select (first Armijo-feasible rung) and the host
+    sequential backtracking walk the same ladder in the same order, so an
+    identity projection hook (forcing the host loop) must reproduce the
+    fused trajectory."""
+    hamiltonian, initial_states, costs = _grape_problem()
+    kwargs = dict(complex_controls=True, iteration_count=12,
+                  log_iteration_step=0)
+    fused = grape_schroedinger_discrete(
+        1, 11, costs, 10, hamiltonian, initial_states, 11,
+        optimizer=LBFGS(), **kwargs)
+    host = grape_schroedinger_discrete(
+        1, 11, costs, 10, hamiltonian, initial_states, 11,
+        optimizer=LBFGS(), impose_control_conditions=lambda c: c, **kwargs)
+    assert np.isclose(fused.best_error, host.best_error, atol=1e-10)
+    assert np.allclose(fused.best_controls, host.best_controls, atol=1e-8)
+
+
 def test_multistart_lbfgs_resume_reproduces_uninterrupted(tmp_path):
     """Kill-at-chunk-boundary + resume_from with the L-BFGS candidate
     carry: the (history, n) curvature buffers, ρ/γ scalars, and int32
