@@ -335,11 +335,17 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields,
 
     def run_chunk(carry, length):
         if fused_mode == "stepwise":
-            row_shapes = jax.eval_shape(
-                lambda c: iteration_step(c, None)[1], carry)
+            if "row_shapes" not in chunk_cache:
+                # One abstract trace for the whole run: eval_shape walks the
+                # full propagation loss, which costs whole seconds of host
+                # time on deep time meshes — doing it per chunk was measured
+                # to dominate the stepwise iteration rate (~0.08-0.3 s/it of
+                # pure tracing on the d=64/2001-step axon workload).
+                chunk_cache["row_shapes"] = jax.eval_shape(
+                    lambda c: iteration_step(c, None)[1], carry)
             rowbufs = jax.tree_util.tree_map(
                 lambda sh: jnp.zeros((length,) + sh.shape, dtype=sh.dtype),
-                row_shapes)
+                chunk_cache["row_shapes"])
             for i in range(length):
                 carry, rowbufs = step_with_rows(
                     carry, rowbufs, jnp.asarray(float(i), jnp.float32))
