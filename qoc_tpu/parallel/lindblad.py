@@ -61,6 +61,17 @@ from qoc_tpu.parallel.sharding import ENSEMBLE_AXIS, make_mesh
 __all__ = ["build_lindblad_ensemble_loss", "grape_lindblad_ensemble",
            "grape_lindblad_multistart"]
 
+# JAX 0.9.0's varying-axis checker mis-handles the RKDP5 bounded-scan
+# stepper's closed-over member rows under vmap (scan-const pvary of an
+# already-varying aval), so the sharded RKDP5 losses run shard_map in
+# legacy (check_vma=False) mode. Semantics are identical; only the static
+# safety net is off. tests/test_lindblad_parallel.py::
+# test_rkdp5_check_vma_workaround_still_needed is a strict-xfail tripwire:
+# the day a JAX upgrade makes check_vma=True pass, that test XPASSes and
+# fails the suite, and this flag (and both downgrade sites keyed on it)
+# should be deleted.
+_RKDP5_FORCE_LEGACY_VMA = True
+
 
 def _fused_eligibility(pstate, hamiltonian, ensemble):
     """None when the fused superoperator chain applies, else the
@@ -134,8 +145,9 @@ def build_lindblad_ensemble_loss(pstate, hamiltonian, hamiltonian_params,
     # already-varying aval), so that path runs shard_map in legacy
     # (check_vma=False) mode — semantics are identical, only the static
     # check is off.
-    if getattr(pstate, "method_",
-               LindbladMethod.RKDP5) == LindbladMethod.RKDP5:
+    if (getattr(pstate, "method_",
+                LindbladMethod.RKDP5) == LindbladMethod.RKDP5
+            and _RKDP5_FORCE_LEGACY_VMA):
         check_vma = False
 
     fused, why = _build_fused_lindblad_ensemble_loss(
@@ -477,10 +489,10 @@ def grape_lindblad_multistart(control_count, control_eval_count, costs,
         pstate.evolved_shape = ((n_members,)
                                 + np.asarray(initial_densities).shape)
         pstate.ensemble_params = hamiltonian_params
-    if method == LindbladMethod.RKDP5:
+    if method == LindbladMethod.RKDP5 and _RKDP5_FORCE_LEGACY_VMA:
         # See build_lindblad_ensemble_loss: the adaptive stepper's nested
         # scan/cond structure trips JAX 0.9's varying-axis checker under
-        # vmap; run the shard_map in legacy mode.
+        # vmap; run the shard_map in legacy mode (_RKDP5_FORCE_LEGACY_VMA).
         check_vma = False
     if resume_from is not None:
         apply_resume(pstate, resume_from)
