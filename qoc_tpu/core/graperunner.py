@@ -72,6 +72,7 @@ _DEFAULT_CHUNK = 200
 # pytree leaves.
 _RESUME_PARAMS = "__params__"
 _RESUME_ITERATION = "__iteration__"
+_RESUME_KIND = "checkpoint_kind"
 _HOST_PREFIX = "host_"
 _OPT_PREFIX = "opt"
 
@@ -105,16 +106,43 @@ def run_grape(pstate, result, loss_flat, evolved_key, result_fields,
                   collect_fn, intermediate_saver)
 
 
+def checkpoint_kind(resume_state):
+    """Decode the ``checkpoint_kind`` tag ("single:<Optimizer>" /
+    "multistart:<Optimizer>") from a loaded optimizer-state dict, or None
+    for files that predate the tag."""
+    raw = resume_state.get(_RESUME_KIND)
+    if raw is None:
+        return None
+    val = np.asarray(raw).reshape(()).item()
+    return val.decode() if isinstance(val, bytes) else str(val)
+
+
 def _resume_start(pstate):
-    """Iteration index to start at (0 for fresh runs)."""
+    """Iteration index to start at (0 for fresh runs). Rejects checkpoints
+    of the wrong kind: a multistart checkpoint's params carry an
+    (n_starts, ...) candidate axis that would otherwise surface as an
+    opaque reshape error deep inside tracing (the reverse-direction twin of
+    parallel/_msrunner.py's single-run rejection)."""
     resume_state = getattr(pstate, "resume_state", None)
-    if resume_state is None or _RESUME_ITERATION not in resume_state:
+    if resume_state is None:
+        return 0, None
+    kind = checkpoint_kind(resume_state)
+    if ((kind or "").startswith("multistart")
+            or (kind is None and "ms_best_err" in resume_state)):
+        raise ValueError(
+            "resume_from file holds a multistart checkpoint, not a "
+            "single-run one — resume it through the matching "
+            "grape_*_multistart driver (same n_starts) or start this run "
+            "fresh.")
+    if _RESUME_ITERATION not in resume_state:
         return 0, resume_state
     return int(np.asarray(resume_state[_RESUME_ITERATION])), resume_state
 
 
 def _snapshot_optimizer(pstate, snap):
     if pstate.should_save and pstate.checkpointer is not None:
+        snap.setdefault(_RESUME_KIND, np.bytes_(
+            "single:" + type(pstate.optimizer).__name__))
         pstate.checkpointer.save_optimizer_state(snap)
 
 

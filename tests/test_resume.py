@@ -214,3 +214,43 @@ def test_resume_same_file_with_larger_iteration_count(tmp_path):
         assert np.all(errors < np.finfo(np.float64).max)
         assert np.isclose(errors[0], first.errors[0], atol=1e-12)
         assert int(np.asarray(f["iteration_count"])) == 12
+
+
+def test_single_run_resume_rejects_multistart_checkpoint(tmp_path):
+    """Reverse direction of the multistart kind check (VERDICT r3 Weak #2):
+    a multistart checkpoint fed to the single-run driver's ``resume_from``
+    must raise the same clean ValueError, not a reshape TypeError from
+    deep inside tracing (the candidate axis on the checkpointed params)."""
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.parallel import grape_schroedinger_multistart, make_mesh
+    path = str(tmp_path / "00000_ms.h5")
+    grape_schroedinger_multistart(
+        1, 5, [TargetStateInfidelity(_TARGET_STATES)], 4.0, _hamiltonian,
+        _INITIAL_STATES, 5, n_starts=8, complex_controls=True,
+        iteration_count=4, log_iteration_step=0,
+        optimizer=Adam(learning_rate=0.02), save_file_path=path,
+        mesh=make_mesh(8, axis_name="candidate"))
+    with pytest.raises(ValueError, match="multistart checkpoint"):
+        _run(str(tmp_path / "00000_new.h5"), resume_from=path)
+
+
+def test_checkpoint_kind_tags_written(tmp_path):
+    """Both runners stamp a decodable checkpoint_kind tag naming the run
+    shape and optimizer into the optimizer_state group."""
+    from qoc_tpu.core.graperunner import checkpoint_kind
+    from qoc_tpu.io.h5 import H5Checkpointer
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.parallel import grape_schroedinger_multistart, make_mesh
+    single_path = str(tmp_path / "00000_single.h5")
+    _run(single_path, iteration_count=4)
+    state = H5Checkpointer(single_path).load_optimizer_state()
+    assert checkpoint_kind(state) == "single:Adam"
+    ms_path = str(tmp_path / "00000_ms.h5")
+    grape_schroedinger_multistart(
+        1, 5, [TargetStateInfidelity(_TARGET_STATES)], 4.0, _hamiltonian,
+        _INITIAL_STATES, 5, n_starts=8, complex_controls=True,
+        iteration_count=4, log_iteration_step=0,
+        optimizer=Adam(learning_rate=0.02), save_file_path=ms_path,
+        mesh=make_mesh(8, axis_name="candidate"))
+    state = H5Checkpointer(ms_path).load_optimizer_state()
+    assert checkpoint_kind(state) == "multistart:Adam"
