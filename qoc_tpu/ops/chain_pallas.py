@@ -377,9 +377,13 @@ def make_chain_expm_propagate(basis):
     (d, d) total ordered product, with an exact custom VJP to ``w``.
     Batched form (the ensemble path): ``w`` (M, B, n_b) runs M independent
     member chains in one kernel (member = major grid axis) and returns
-    (M, d, d). Requires max_j ||A_j||_1 <= 1 (no squaring; the GRAPE
-    Magnus-M2 regime — callers guard with :func:`chain_fused_ok` + a norm
-    bound).
+    (M, d, d). Any step norm is handled: ``_degree_switch`` picks a Taylor
+    degree from the batch max 1-norm and falls through to per-matrix
+    scaling-and-squaring for ||A_j||_1 > 1 (exercised by
+    ``tests/test_chain.py::test_chain_large_norm_squaring_branch``), so
+    callers need no norm bound. Eligibility is purely the size/VMEM
+    conditions in :func:`chain_fused_ok` (padded d <= 256, enough steps,
+    per-block plane temps within budget).
     """
     basis = np.asarray(basis)
 

@@ -32,6 +32,17 @@ multistart engine's per-candidate ``vmap``/sharding work unchanged.
 A host-loop twin (``run``) mirrors the same math in numpy with sequential
 backtracking, used when a non-traceable ``impose_control_conditions`` hook
 forces the host path (core/graperunner.py:98-105).
+
+Projection-semantics caveat (norm-saturated problems): the GRAPE clip to
+``max_control_norms`` is a projection OUTSIDE the gradient — trial losses
+are evaluated through the projection (the runners pass a projected-loss
+closure), while the Armijo slope gtd = g·d uses the gradient at the
+clipped point. When the iterate sits ON the norm boundary, gtd is not the
+exact directional derivative of the projected objective, so sufficient
+decrease can systematically fail and the step degrades to the
+best-improving rung or 0 (safe — the loss never increases — but progress
+along the boundary may stall). Norm-saturated problems converge more
+reliably under Adam, whose update does not line-search.
 """
 
 import numpy as np
