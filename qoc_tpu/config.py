@@ -93,3 +93,18 @@ def device_get(tree):
     Accepts a single array or an arbitrary pytree.
     """
     return jax.tree_util.tree_map(_to_host, tree)
+
+
+def is_io_process():
+    """True on the process that owns stdout logging and H5 writes.
+
+    Single-host runs are trivially the I/O process. Under
+    ``jax.distributed`` every process executes the same SPMD program, but
+    only process 0 may talk to the save file and the terminal — otherwise
+    an N-host run prints N copies of every log row and races N writers on
+    one H5 file (the FileLock in io/h5.py is per-host, not cross-host).
+    Reads (``resume_from``) stay un-gated: the save file must live on a
+    filesystem every process can read (shared FS), and each process loads
+    the same checkpoint so the restored params agree everywhere.
+    """
+    return jax.process_index() == 0

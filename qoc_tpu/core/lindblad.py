@@ -323,6 +323,12 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
                 if not cost.requires_step_evaluation:
                     error = error + cost.cost(controls, densities,
                                               final_step)
+            if density_sharding is not None:
+                # Replicate the H5-bound aux for multi-host pulls (see
+                # core/schroedinger.py / parallel/ensemble._replicate_aux).
+                from jax.sharding import NamedSharding, PartitionSpec
+                densities = jax.lax.with_sharding_constraint(
+                    densities, NamedSharding(density_mesh, PartitionSpec()))
             if collect_intermediates:
                 intermediates = intermediates.reshape(
                     (n_blocks * block,) + intermediates.shape[2:])[:n_steps]
@@ -391,6 +397,12 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
         for cost in costs:
             if not cost.requires_step_evaluation:
                 error = error + cost.cost(controls, densities, final_step)
+        if density_sharding is not None:
+            # Replicate the H5-bound aux for multi-host pulls (see
+            # core/schroedinger.py / parallel/ensemble._replicate_aux).
+            from jax.sharding import NamedSharding, PartitionSpec
+            densities = jax.lax.with_sharding_constraint(
+                densities, NamedSharding(density_mesh, PartitionSpec()))
         if collect_intermediates:
             intermediates = jnp.concatenate(
                 (initial_densities[None], intermediates), axis=0)

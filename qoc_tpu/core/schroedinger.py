@@ -317,6 +317,14 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
         for cost in costs:
             if not cost.requires_step_evaluation:
                 error = error + cost.cost(controls, states, final_step)
+        if state_sharding is not None:
+            # Replicate the H5/result-bound aux: sharded over a multi-host
+            # mesh it would have non-addressable shards at device_get
+            # (multi-host driver contract; see parallel/ensemble.py
+            # _replicate_aux).
+            from jax.sharding import NamedSharding, PartitionSpec
+            states = jax.lax.with_sharding_constraint(
+                states, NamedSharding(state_mesh, PartitionSpec()))
         if collect_intermediates:
             # Flatten blocks, drop padding, prepend the initial states (the
             # reference records states at every system_eval step including

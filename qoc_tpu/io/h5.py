@@ -31,15 +31,27 @@ _LOCK_TIMEOUT_S = 10
 
 
 class H5Checkpointer:
-    """Lock-guarded writer for one optimization/evolution save file."""
+    """Lock-guarded writer for one optimization/evolution save file.
+
+    Multi-host: writes are owned by process 0 (``config.is_io_process``) —
+    every other process's write methods are silent no-ops, so the drivers
+    can call them unconditionally from their SPMD loops without N hosts
+    racing on one file. Reads (``load_optimizer_state``) work on every
+    process; resume therefore requires the save file on a shared
+    filesystem.
+    """
 
     def __init__(self, save_file_path):
         if not _HAVE_H5:
             raise ImportError("h5py/filelock are required for save files.")
         self.save_file_path = save_file_path
         self.lock_path = save_file_path + ".lock"
+        from qoc_tpu.config import is_io_process
+        self._writes_enabled = is_io_process()
 
     def _locked_write(self, fn, mode="a", what="save"):
+        if not self._writes_enabled:
+            return
         try:
             with FileLock(self.lock_path, timeout=_LOCK_TIMEOUT_S):
                 with h5py.File(self.save_file_path, mode) as save_file:

@@ -80,7 +80,13 @@ class GrapeState(ProgramState):
         self.min_error = min_error
         self.optimizer = optimizer
         self.save_iteration_step = save_iteration_step
-        self.should_log = log_iteration_step != 0
+        # Logging is host-side only, so gating it on the I/O process keeps
+        # the compiled SPMD program identical across hosts while silencing
+        # duplicate rows. should_save is NOT gated — it shapes the traced
+        # computation (row collection, states_fn) which must match on every
+        # process; the H5Checkpointer's writes no-op off process 0 instead.
+        from qoc_tpu.config import is_io_process
+        self.should_log = log_iteration_step != 0 and is_io_process()
         self.should_save = (save_iteration_step != 0
                             and save_file_path is not None)
 
@@ -95,8 +101,9 @@ class GrapeState(ProgramState):
 
     def log_and_save_initial(self):
         if self.should_save:
-            print("QOC is saving this optimization run to {}."
-                  "".format(self.save_file_path))
+            if self.checkpointer._writes_enabled:
+                print("QOC is saving this optimization run to {}."
+                      "".format(self.save_file_path))
             # Resuming into the same file: keep the preallocated schema and
             # fill its remaining rows in place (io/resume.py:apply_resume).
             if not getattr(self, "resuming_same_file", False):
@@ -146,8 +153,9 @@ class EvolveSchroedingerDiscreteState(ProgramState):
 
     def save_initial(self, controls):
         if self.save_file_path is not None:
-            print("QOC is saving this evolution to {}."
-                  "".format(self.save_file_path))
+            if self.checkpointer._writes_enabled:
+                print("QOC is saving this evolution to {}."
+                      "".format(self.save_file_path))
             self.checkpointer.create_evolve_file(self, controls)
 
     def save_intermediate_states(self, states_stack):
@@ -217,8 +225,9 @@ class EvolveLindbladDiscreteState(ProgramState):
 
     def save_initial(self, controls):
         if self.save_file_path is not None:
-            print("QOC is saving this evolution to {}."
-                  "".format(self.save_file_path))
+            if self.checkpointer._writes_enabled:
+                print("QOC is saving this evolution to {}."
+                      "".format(self.save_file_path))
             self.checkpointer.create_evolve_file(self, controls)
 
     def save_intermediate_densities(self, densities_stack):

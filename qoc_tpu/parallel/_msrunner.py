@@ -130,6 +130,19 @@ def run_multistart(pstate, result, mesh, shard_loss_sum, n_starts,
     collect_saves = pstate.should_save
     n_cand_shards = mesh.shape.get(CANDIDATE_AXIS, 1)
 
+    # Multi-host-safe device->host pull: candidate-sharded global arrays
+    # have non-addressable shards off their owner process, so every pull of
+    # loop rows / carry leaves reshards to fully-replicated inside a jit
+    # (XLA all-gather over ICI/DCN) before the host transfer. Single-host
+    # this adds one cheap dispatch per pull (rows are pulled once per
+    # chunk). All processes execute the same pull sequence — SPMD-safe.
+    _replicate = jax.jit(
+        lambda tree: tree,
+        out_shardings=jax.sharding.NamedSharding(mesh, P()))
+
+    def pull(tree):
+        return device_get(_replicate(tree))
+
     def batch_projected_loss(params_batch):
         """(C_s, nflat) candidate params -> (C_s,) clip-projected losses;
         the line-search view for ``needs_loss`` optimizers (LBFGS). One
@@ -273,9 +286,11 @@ def run_multistart(pstate, result, mesh, shard_loss_sum, n_starts,
     else:
         params0 = candidate_seeds(pstate, n_starts, seed)
 
+    # device_put from host numpy (not a committed local device array):
+    # multi-host device_put shards host data per-process; a single-device
+    # committed source would be unshardable across processes.
     params = jax.device_put(
-        jnp.asarray(params0),
-        jax.sharding.NamedSharding(mesh, P(CANDIDATE_AXIS)))
+        params0, jax.sharding.NamedSharding(mesh, P(CANDIDATE_AXIS)))
 
     @jax.jit
     def make_initial_carry(params_, start_f):
@@ -304,16 +319,16 @@ def run_multistart(pstate, result, mesh, shard_loss_sum, n_starts,
         params_c, opt_state_c, done_c, berr_c, bflat_c, biter_c, _ = carry_now
         snap = {_RESUME_KIND: np.bytes_(
                     "multistart:" + type(optimizer).__name__),
-                _RESUME_PARAMS: np.asarray(device_get(params_c)),
+                _RESUME_PARAMS: np.asarray(pull(params_c)),
                 _RESUME_ITERATION: np.asarray(next_iteration),
-                _MS_DONE: np.asarray(device_get(done_c)),
-                _MS_BEST_ERR: np.asarray(device_get(berr_c)),
-                _MS_BEST_FLAT: np.asarray(device_get(bflat_c)),
-                _MS_BEST_ITER: np.asarray(device_get(biter_c))}
+                _MS_DONE: np.asarray(pull(done_c)),
+                _MS_BEST_ERR: np.asarray(pull(berr_c)),
+                _MS_BEST_FLAT: np.asarray(pull(bflat_c)),
+                _MS_BEST_ITER: np.asarray(pull(biter_c))}
         flat, _ = jax.tree_util.tree_flatten_with_path(opt_state_c)
         for path, leaf in flat:
             snap[_OPT_PREFIX + jax.tree_util.keystr(path)] = np.asarray(
-                device_get(leaf))
+                pull(leaf))
         pstate.checkpointer.save_optimizer_state(snap)
 
     chunk = int(fused_chunk or _DEFAULT_CHUNK)
@@ -335,7 +350,7 @@ def run_multistart(pstate, result, mesh, shard_loss_sum, n_starts,
         if mode == "scan":
             out = chunked(length)(*carry)
             carry, rows = out[:-1], out[-1]
-            rows = device_get(rows)
+            rows = pull(rows)
         else:
             step = stepwise_step()
             row_shapes = [
@@ -358,7 +373,7 @@ def run_multistart(pstate, result, mesh, shard_loss_sum, n_starts,
                            jnp.asarray(float(i), dtype=rdt))
                 carry, rowbufs = out[:n_carry], out[n_carry:]
             rows = tuple(np.asarray(buf)[:length]
-                         for buf in device_get(rowbufs))
+                         for buf in pull(rowbufs))
         err_rows = np.asarray(rows[0])                 # (length, n_starts)
         active_rows = np.asarray(rows[1])              # (length, n_starts)
         # Only candidates that actually ran count toward the rate (frozen
@@ -407,14 +422,14 @@ def run_multistart(pstate, result, mesh, shard_loss_sum, n_starts,
             break
 
     _, _, _, best_err, best_flat, best_iter, _ = carry
-    errors = np.asarray(device_get(best_err))
+    errors = np.asarray(pull(best_err))
     winner = int(np.argmin(errors))
-    winning_flat = np.asarray(device_get(best_flat))[winner]
+    winning_flat = np.asarray(pull(best_flat))[winner]
     result.best_controls = slap_controls(cc, winning_flat, shape)
     result.best_error = float(errors[winner])
     # The winner's actual best iteration (tracked in the carry like the
     # fused single-run path), not the last iteration run.
-    result.best_iteration = int(np.asarray(device_get(best_iter))[winner])
+    result.best_iteration = int(np.asarray(pull(best_iter))[winner])
     result.errors = errors
     result.iteration_count_ran = iteration - iteration_start
     result.iterations_per_s = meter.mean_rate

@@ -38,6 +38,24 @@ from qoc_tpu.parallel.sharding import ENSEMBLE_AXIS, make_mesh
 
 __all__ = ["grape_schroedinger_ensemble", "build_ensemble_loss"]
 
+def _replicate_aux(mesh):
+    """Constraint replicating the member-sharded final states/densities aux.
+
+    The loss's aux feeds H5 rows and result fields through host pulls; with
+    ``out_specs=P(axis)`` the global aux is sharded across processes and a
+    multi-host ``device_get`` would touch non-addressable shards. The
+    constraint makes XLA all-gather it inside the jit (riding ICI/DCN), so
+    every process holds a full replica — a no-op cost single-device, and
+    small (final states only) elsewhere.
+    """
+    from jax.sharding import NamedSharding
+    sharding = NamedSharding(mesh, P())
+
+    def constrain(aux):
+        return jax.lax.with_sharding_constraint(aux, sharding)
+
+    return constrain
+
 
 def build_ensemble_loss(pstate, hamiltonian, hamiltonian_params, mesh,
                         axis_name=ENSEMBLE_AXIS, check_vma=True,
@@ -100,8 +118,11 @@ def build_ensemble_loss(pstate, hamiltonian, hamiltonian_params, mesh,
                         in_specs=(P(), P(axis_name)),
                         out_specs=(P(), P(axis_name)), check_vma=check_vma)
 
+    replicate = _replicate_aux(mesh)
+
     def loss(controls):
-        return sharded(controls, hamiltonian_params)
+        err, states = sharded(controls, hamiltonian_params)
+        return err, replicate(states)
 
     loss.uses_fused_chain = False
     return loss
@@ -233,8 +254,11 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
                         in_specs=(P(), P(axis_name)),
                         out_specs=(P(), P(axis_name)), check_vma=check_vma)
 
+    replicate = _replicate_aux(mesh)
+
     def loss(controls):
-        return sharded(controls, jnp.asarray(params))
+        err, states = sharded(controls, jnp.asarray(params))
+        return err, replicate(states)
 
     loss.uses_fused_chain = True
     return loss, None

@@ -56,6 +56,7 @@ from qoc_tpu.parallel._msrunner import (
     run_multistart,
     validate_multistart_entry,
 )
+from qoc_tpu.parallel.ensemble import _replicate_aux
 from qoc_tpu.parallel.sharding import ENSEMBLE_AXIS, make_mesh
 
 __all__ = ["build_lindblad_ensemble_loss", "grape_lindblad_ensemble",
@@ -180,8 +181,11 @@ def build_lindblad_ensemble_loss(pstate, hamiltonian, hamiltonian_params,
                         in_specs=(P(), P(axis_name)),
                         out_specs=(P(), P(axis_name)), check_vma=check_vma)
 
+    replicate = _replicate_aux(mesh)
+
     def loss(controls):
-        return sharded(controls, hamiltonian_params)
+        err, densities = sharded(controls, hamiltonian_params)
+        return err, replicate(densities)
 
     loss.uses_fused_chain = False
     return loss
@@ -287,8 +291,11 @@ def _build_fused_lindblad_ensemble_loss(pstate, hamiltonian, params, mesh,
                         in_specs=(P(), P(axis_name)),
                         out_specs=(P(), P(axis_name)), check_vma=check_vma)
 
+    replicate = _replicate_aux(mesh)
+
     def loss(controls):
-        return sharded(controls, jnp.asarray(params))
+        err, densities = sharded(controls, jnp.asarray(params))
+        return err, replicate(densities)
 
     loss.uses_fused_chain = True
     return loss, None
@@ -497,8 +504,9 @@ def grape_lindblad_multistart(control_count, control_eval_count, costs,
     if resume_from is not None:
         apply_resume(pstate, resume_from)
     if pstate.should_save:
-        print("QOC is saving this optimization run to {}."
-              "".format(save_file_path))
+        if pstate.checkpointer._writes_enabled:
+            print("QOC is saving this optimization run to {}."
+                  "".format(save_file_path))
         if not getattr(pstate, "resuming_same_file", False):
             pstate.checkpointer.create_grape_file(pstate,
                                                   pstate._save_count())

@@ -154,8 +154,9 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
     if resume_from is not None:
         apply_resume(pstate, resume_from)
     if pstate.should_save:
-        print("QOC is saving this optimization run to {}."
-              "".format(save_file_path))
+        if pstate.checkpointer._writes_enabled:
+            print("QOC is saving this optimization run to {}."
+                  "".format(save_file_path))
         if not getattr(pstate, "resuming_same_file", False):
             pstate.checkpointer.create_grape_file(pstate,
                                                   pstate._save_count())
