@@ -74,6 +74,16 @@ __all__ = ["make_chain_expm_propagate", "chain_expm_propagate",
 
 _ALIGN = 64
 _SEGMENTS = 8
+# Above the basis-resident kernel's embedding limit (padded d <= 256) the
+# streamed-generator variant takes over, up to this padded dimension: the
+# generator planes are built at the XLA level (one batched MXU einsum) and
+# streamed into the kernel per grid step instead of holding the whole
+# (n_b, 2dp, 2dp) basis stack in VMEM — at dp = 512 that stack would be
+# n_b x 4 MB, while one streamed step costs a 2 x 1 MB plane read against
+# ~20 GFLOP of Taylor work (HBM time is <2% of compute). One chain per
+# grid step (no segment interleave): a (2dp)^2 >= 640^2 dot already fills
+# the MXU pipeline on its own.
+_STREAM_MAX = 512
 
 
 def _match_vma(x, like):
@@ -127,9 +137,10 @@ def chain_block_plan(d, n_steps, n_chains=1):
     dp = -(-d // _ALIGN) * _ALIGN
     step_bytes = 8 * dp * max(dp, 128) * max(n_chains, 1)
     cap = (512 * 1024 * 1024) // step_bytes
-    block = min(n_steps, max(2 * _SEGMENTS, min(-(-n_steps // 6), cap)))
+    floor = 2 * _SEGMENTS if dp <= 256 else 1
+    block = min(n_steps, max(floor, min(-(-n_steps // 6), cap)))
     remat = step_bytes * n_steps > 8 * 1024 ** 3
-    if cap < 2 * _SEGMENTS:
+    if cap < floor:
         # The kernel's segment floor forces a block larger than the
         # per-block budget (possible only at big d x many chains); remat
         # bounds the OOM exposure to one block's temps. chain_fused_ok
@@ -140,17 +151,22 @@ def chain_block_plan(d, n_steps, n_chains=1):
 
 
 def chain_fused_ok(d, n_steps, n_chains=1):
-    """Whether the fused chain kernel supports this problem size: the
-    embedded basis stack and S accumulators must fit VMEM comfortably, and
-    the minimum (2 segments x chains) block's plane temps must fit the
-    per-block HBM budget (see chain_block_plan)."""
+    """Whether a fused chain kernel supports this problem size.
+
+    Padded d <= 256: the basis-resident segment-interleaved kernel — needs
+    the (n_b, 2dp, 2dp) basis stack and S accumulators in VMEM and at
+    least a (2 segments x chains) block whose plane temps fit the
+    per-block HBM budget (see chain_block_plan). 256 < padded d <=
+    ``_STREAM_MAX``: the streamed-generator kernel — one chain per grid
+    step, generator planes built at the XLA level, no segment floor."""
     if not _HAVE_PALLAS:  # pragma: no cover
         return False
     dp = -(-d // _ALIGN) * _ALIGN
     step_bytes = 8 * dp * max(dp, 128) * max(n_chains, 1)
     cap = (512 * 1024 * 1024) // step_bytes
-    return (dp <= 256 and n_steps >= 2 * _SEGMENTS
-            and cap >= 2 * _SEGMENTS)
+    if dp <= 256:
+        return n_steps >= 2 * _SEGMENTS and cap >= 2 * _SEGMENTS
+    return dp <= _STREAM_MAX and n_steps >= 1 and cap >= 1
 
 
 # ---------------------------------------------------------------------------
@@ -368,6 +384,199 @@ def _degree_switch(norm_max, make_branch, *args):
     return lax.switch(_ladder_index(norm_max), branches, *args)
 
 
+# ---------------------------------------------------------------------------
+# Streamed-generator kernels (256 < padded d <= _STREAM_MAX)
+#
+# Same chain math and exact conjugated adjoint recursion as the
+# basis-resident kernels above, with two structural changes for large
+# embeddings: the generators arrive as precomputed (re, im) HBM planes
+# (the in-VMEM basis stack would not fit), and each grid step advances ONE
+# chain (segment interleaving is unnecessary when a single (2dp, 2dp) dot
+# saturates the MXU; it also removes the segment-merge matmuls and the
+# per-segment adjoint seed chains from the XLA glue).
+# ---------------------------------------------------------------------------
+
+
+def _stream_fwd_kernel(degree, a_r_ref, a_i_ref, pref_r_ref, pref_i_ref,
+                       acc_ref):
+    """One grid step = one time step of one member's chain. Grid is
+    (members, steps), steps minor, so the running product resets at
+    t == 0 of every member."""
+    t = pl.program_id(1)
+    dp = pref_r_ref.shape[-1]
+    eye2 = jnp.eye(2 * dp, dtype=jnp.float32)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[...] = eye2
+
+    m = _embed(a_r_ref[0, 0], a_i_ref[0, 0])
+    u = _expm_embedded(m, eye2, degree)
+    p = _dot(u, acc_ref[...])
+    acc_ref[...] = p
+    pref_r_ref[0, 0] = p[:dp, :dp]
+    pref_i_ref[0, 0] = p[dp:, :dp]
+
+
+def _stream_bwd_kernel(degree, ah_r_ref, ah_i_ref, prefpad_r_ref,
+                       prefpad_i_ref, seed_r_ref, seed_i_ref,
+                       abar_r_ref, abar_i_ref, t_ref, uh_ref):
+    """Reversed grid step of the conjugated adjoint recursion (see module
+    docstring): streamed E(A^H) planes, T carry and E(U^H) in scratch."""
+    i = pl.program_id(1)
+    dp = abar_r_ref.shape[-1]
+    eye2 = jnp.eye(2 * dp, dtype=jnp.float32)
+    mh = _embed(ah_r_ref[0, 0], ah_i_ref[0, 0])
+
+    def seed():
+        return _embed(seed_r_ref[0], seed_i_ref[0])
+
+    def recur():
+        return _dot(uh_ref[...], t_ref[...])
+
+    t_cur = lax.cond(i == 0, seed, recur)
+    t_ref[...] = t_cur
+    pm1 = _embed(prefpad_r_ref[0, 0], prefpad_i_ref[0, 0])
+    cu = _dotT(t_cur, pm1)
+    uh, cabar = _expm_embedded_dual((mh, cu), eye2, degree)
+    uh_ref[...] = uh
+    abar_r_ref[0, 0] = cabar[:dp, :dp]
+    abar_i_ref[0, 0] = cabar[dp:, :dp]
+
+
+def _stream_planes(w3, basis, d, dp):
+    """(M, B, n_b) weights x (n_b, d, d) basis -> padded (M, B, dp, dp)
+    f32 (re, im) generator planes (one batched MXU einsum; ~n_b MACs per
+    output element — negligible against the kernel's Taylor chain)."""
+    a = jnp.einsum("mbk,kij->mbij", w3.astype(jnp.float32),
+                   jnp.asarray(basis))
+    ar = jnp.real(a).astype(jnp.float32)
+    ai = jnp.imag(a).astype(jnp.float32)
+    if dp != d:
+        pad = ((0, 0), (0, 0), (0, dp - d), (0, dp - d))
+        ar = jnp.pad(ar, pad)
+        ai = jnp.pad(ai, pad)
+    return ar, ai
+
+
+def _stream_vmem_limit(dp, dual):
+    """Mosaic's default scoped-VMEM limit is 16 MB — the streamed kernels'
+    Taylor working set exceeds it from dp=320 up (measured 22.3 MB for the
+    dual chain at dp=320). Budget ~24 live (2dp)^2 planes for the dual
+    (backward) chain, ~12 for the forward, capped at 120 MB (v5e has
+    128 MB of physical VMEM)."""
+    plane = (2 * dp) * (2 * dp) * 4
+    return min(120 * 1024 * 1024, (28 if dual else 16) * plane)
+
+
+def _stream_fwd_pallas(a_r, a_i, dp, degree):
+    n_members, length = a_r.shape[:2]
+    plane = pl.BlockSpec((1, 1, dp, dp), lambda m, t: (m, t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    shapes = (_struct((n_members, length, dp, dp), a_r),
+              _struct((n_members, length, dp, dp), a_r))
+    return _pallas_call(
+        functools.partial(_stream_fwd_kernel, degree),
+        grid=(n_members, length),
+        in_specs=[plane, plane],
+        out_specs=(plane, plane),
+        out_shape=shapes,
+        scratch_shapes=[pltpu.VMEM((2 * dp, 2 * dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_stream_vmem_limit(dp, dual=False)),
+    )(a_r, a_i)
+
+
+def _stream_bwd_pallas(ah_r, ah_i, prefpad_r, prefpad_i, seed_r, seed_i,
+                       dp, degree):
+    n_members, length = ah_r.shape[:2]
+    rev = lambda m, i: (m, length - 1 - i, 0, 0)
+    plane = pl.BlockSpec((1, 1, dp, dp), rev, memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, dp, dp), lambda m, i: (m, 0, 0),
+                             memory_space=pltpu.VMEM)
+    shapes = (_struct((n_members, length, dp, dp), ah_r),
+              _struct((n_members, length, dp, dp), ah_r))
+    return _pallas_call(
+        functools.partial(_stream_bwd_kernel, degree),
+        grid=(n_members, length),
+        in_specs=[plane, plane, plane, plane, seed_spec, seed_spec],
+        out_specs=(plane, plane),
+        out_shape=shapes,
+        scratch_shapes=[pltpu.VMEM((2 * dp, 2 * dp), jnp.float32),
+                        pltpu.VMEM((2 * dp, 2 * dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_stream_vmem_limit(dp, dual=True)),
+    )(ah_r, ah_i, prefpad_r, prefpad_i, seed_r, seed_i)
+
+
+def _chain_fwd_stream(w, basis, d, dp):
+    batched = w.ndim == 3
+    w3 = w if batched else w[None]
+    a_r, a_i = _stream_planes(w3, basis, d, dp)
+    a_r = _match_vma(a_r, w3)
+    a_i = _match_vma(a_i, w3)
+    norm_max, norm_inf_max = _exact_norm_max(w3, basis)
+    pref_r, pref_i = _degree_switch(
+        norm_max,
+        lambda deg: (lambda ar, ai: _stream_fwd_pallas(ar, ai, dp, deg)),
+        a_r, a_i)
+    total = (pref_r[:, -1, :d, :d]
+             + 1j * pref_i[:, -1, :d, :d])           # (M, d, d)
+    if not batched:
+        total = total[0]
+    return total, (w3, pref_r, pref_i, norm_inf_max, batched, d, dp)
+
+
+def _chain_bwd_stream(basis, res, gbar):
+    w3, pref_r, pref_i, norm_inf_max, batched, d, dp = res
+    n_members = w3.shape[0]
+
+    if not batched:
+        gbar = gbar[None]
+    # One chain per member: the T seed is just conj(P̄_total) = conj(Ḡ).
+    seeds = jnp.conjugate(gbar)
+    seed_r = jnp.real(seeds).astype(jnp.float32)
+    seed_i = jnp.imag(seeds).astype(jnp.float32)
+    if dp != d:
+        pad = ((0, 0), (0, dp - d), (0, dp - d))
+        seed_r = jnp.pad(seed_r, pad)
+        seed_i = jnp.pad(seed_i, pad)
+
+    # E(A^H) planes: A^H re/im = (Ar^T, -Ai^T) — recomputed (one einsum +
+    # transpose; far cheaper than persisting them as residuals).
+    a_r, a_i = _stream_planes(w3, basis, d, dp)
+    ah_r = jnp.swapaxes(a_r, -1, -2)
+    ah_i = -jnp.swapaxes(a_i, -1, -2)
+    ah_r = _match_vma(ah_r, w3)
+    ah_i = _match_vma(ah_i, w3)
+
+    # prefpad[t] = P_{t-1}: identity prepended, last prefix dropped.
+    eye_row = _match_vma(jnp.broadcast_to(
+        jnp.eye(dp, dtype=jnp.float32), (n_members, 1, dp, dp)), pref_r)
+    prefpad_r = jnp.concatenate((eye_row, pref_r[:, :-1]), axis=1)
+    prefpad_i = jnp.concatenate((jnp.zeros_like(eye_row), pref_i[:, :-1]),
+                                axis=1)
+
+    cabar_r, cabar_i = _degree_switch(
+        norm_inf_max,
+        lambda deg: (lambda *a: _stream_bwd_pallas(*a, dp, deg)),
+        ah_r, ah_i, prefpad_r, prefpad_i, seed_r, seed_i)
+
+    basis_c = jnp.asarray(basis)
+    gk_r = jnp.real(basis_c).astype(jnp.float32)
+    gk_i = jnp.imag(basis_c).astype(jnp.float32)
+    if dp != d:
+        cabar_r = cabar_r[..., :d, :d]
+        cabar_i = cabar_i[..., :d, :d]
+    # Same real projection as the basis-resident backward (see
+    # _chain_bwd_vjp): the kernel emitted conj(Ā) planes.
+    wbar = (jnp.einsum("mtab,kab->mtk", cabar_r, gk_r)
+            + jnp.einsum("mtab,kab->mtk", cabar_i, gk_i))
+    if not batched:
+        wbar = wbar[0]
+    return (wbar,)
+
+
 def make_chain_expm_propagate(basis):
     """Build P(w) = exp(A_{B-1}) ··· exp(A_1) exp(A_0), A_j = Σ_k w[j,k] G_k.
 
@@ -407,6 +616,12 @@ def chain_expm_propagate(w, basis):
 
 
 def _chain_fwd(w, basis):
+    d = np.asarray(basis).shape[-1]
+    if -(-d // _ALIGN) * _ALIGN > 256:
+        # Streamed-generator regime: residuals tagged by their length (7 vs
+        # 10) for the backward dispatch.
+        dp = -(-d // _ALIGN) * _ALIGN
+        return _chain_fwd_stream(w, basis, d, dp)
     emb, embt, d, dp = _basis_stacks(basis)
     batched = w.ndim == 3
     w3 = w if batched else w[None]
@@ -430,6 +645,8 @@ def _chain_fwd(w, basis):
 
 
 def _chain_bwd_vjp(basis, res, gbar):
+    if len(res) == 7:
+        return _chain_bwd_stream(basis, res, gbar)
     (w_ord, pref_r, pref_i, prods, norm_inf_max, b_orig, batched, length, d,
      dp) = res
     emb, embt, _, _ = _basis_stacks(basis)

@@ -257,3 +257,83 @@ def test_chain_block_plan():
     _, remat_64 = chain_block_plan(64, 300, n_chains=512)
     _, remat_128 = chain_block_plan(128, 300, n_chains=256)
     assert remat_64 == remat_128
+
+
+def test_stream_chain_forward_and_grad_match_reference(interpreted_pallas):
+    """Streamed-generator regime (256 < padded d <= 512, VERDICT r3
+    Missing #2): forward products and exact VJP match the XLA reference
+    above the basis-resident kernel's d <= 256 limit, including batched
+    members and the no-multiple-of-64 padding path."""
+    from qoc_tpu.ops.chain_pallas import (chain_expm_propagate_reference,
+                                          chain_fused_ok,
+                                          make_chain_expm_propagate)
+    rng = np.random.default_rng(11)
+    d, n_b, b = 260, 3, 3                     # dp = 320 > 256
+    assert chain_fused_ok(d, b)
+    basis = _random_basis(rng, n_b, d, 0.01 / n_b)
+    prop = make_chain_expm_propagate(basis)
+    w = rng.normal(size=(b, n_b)).astype(np.float32)
+    got = np.asarray(prop(jnp.asarray(w)))
+    want = np.asarray(chain_expm_propagate_reference(jnp.asarray(w), basis))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+    tgt = (rng.normal(size=(d, d))
+           + 1j * rng.normal(size=(d, d))).astype(np.complex64)
+
+    def loss_fused(ww):
+        return jnp.sum(jnp.abs(prop(ww) - tgt) ** 2)
+
+    def loss_ref(ww):
+        return jnp.sum(jnp.abs(
+            chain_expm_propagate_reference(ww, basis) - tgt) ** 2)
+
+    g_f = np.asarray(jax.grad(loss_fused)(jnp.asarray(w)))
+    g_r = np.asarray(jax.grad(loss_ref)(jnp.asarray(w)))
+    assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3
+
+    # Batched members: (M, B, n_b) -> (M, d, d), per-member independent.
+    wm = rng.normal(size=(2, b, n_b)).astype(np.float32)
+    got_m = np.asarray(prop(jnp.asarray(wm)))
+    for m in range(2):
+        want_m = np.asarray(chain_expm_propagate_reference(
+            jnp.asarray(wm[m]), basis))
+        assert np.abs(got_m[m] - want_m).max() / np.abs(want_m).max() < 1e-4
+
+
+def test_stream_chain_squaring_branch(interpreted_pallas):
+    """Large step norms fall through to per-matrix scaling-and-squaring in
+    the streamed regime too."""
+    from qoc_tpu.ops.chain_pallas import (chain_expm_propagate_reference,
+                                          make_chain_expm_propagate)
+    rng = np.random.default_rng(12)
+    d, n_b, b = 260, 2, 2
+    basis = _random_basis(rng, n_b, d, 2.0 / (n_b * np.sqrt(d)))
+    prop = make_chain_expm_propagate(basis)
+    w = rng.normal(size=(b, n_b)).astype(np.float32)
+    got = np.asarray(prop(jnp.asarray(w)))
+    want = np.asarray(chain_expm_propagate_reference(jnp.asarray(w), basis))
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-4
+
+    tgt = (rng.normal(size=(d, d))
+           + 1j * rng.normal(size=(d, d))).astype(np.complex64)
+    g_f = np.asarray(jax.grad(
+        lambda ww: jnp.sum(jnp.abs(prop(ww) - tgt) ** 2))(jnp.asarray(w)))
+    g_r = np.asarray(jax.grad(
+        lambda ww: jnp.sum(jnp.abs(chain_expm_propagate_reference(
+            ww, basis) - tgt) ** 2))(jnp.asarray(w)))
+    assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3
+
+
+def test_stream_eligibility_and_plan():
+    """chain_fused_ok / chain_block_plan cover the streamed regime: no
+    segment floor, cap-respecting blocks, ineligible above _STREAM_MAX."""
+    from qoc_tpu.ops.chain_pallas import (_STREAM_MAX, chain_block_plan,
+                                          chain_fused_ok)
+    assert chain_fused_ok(300, 1)             # no 16-step floor
+    assert chain_fused_ok(_STREAM_MAX, 10)
+    assert not chain_fused_ok(_STREAM_MAX + 1, 10)
+    block, remat = chain_block_plan(300, 2001)
+    assert 1 <= block <= 2001
+    assert not remat                          # 2001*320*320*8 ~ 1.6 GB < 8
+    _, remat_big = chain_block_plan(512, 200_000)
+    assert remat_big
