@@ -23,6 +23,9 @@ The ``extra`` field carries the rest of the BASELINE table (VERDICT r1 #3):
   pulse candidates (d=2^6, 10 controls, 201 steps) on one chip through
   ``grape_schroedinger_multistart`` — the BASELINE.json "thousands of pulse
   candidates" axis.
+- ``lindblad_magnus_d20_it_s``: open-system GRAPE at Hilbert d=20
+  (sop 400) on the streamed-generator superoperator chain kernel
+  (256 < padded d <= 512 regime, round 4).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -233,6 +236,64 @@ def bench_lindblad(method):
     return TIMED_ITERATIONS / (time.perf_counter() - start)
 
 
+def bench_lindblad_d20():
+    """Open-system GRAPE iteration rate at Hilbert d=20 (sop 400, padded
+    448): the streamed-generator superoperator chain kernel's regime
+    (256 < padded d <= 512) — the scale the fused path could not reach
+    before round 4 (VERDICT r3 Missing #2). Measured 4.0x the generic
+    blocked-XLA path on 1x v5e (profiling/stream_drive.py)."""
+    from qoc_tpu.core.common import initialize_controls, slap_controls_jax, \
+        strip_controls
+    from qoc_tpu.core.lindblad import build_lindblad_loss
+    from qoc_tpu.models import (ConstantLindblad, GrapeLindbladDiscreteState,
+                                InterpolationPolicy, LindbladMethod,
+                                LinearHamiltonian, MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.standard import (TargetDensityInfidelity,
+                                  get_annihilation_operator)
+
+    d = 20
+    a = get_annihilation_operator(d).astype(np.complex64)
+    n_op = (a.conj().T @ a).astype(np.complex64)
+    hamiltonian = LinearHamiltonian(0.1 * n_op, np.stack((a,)))
+    lindblad_data = ConstantLindblad(np.array([1e-3]), np.stack((a,)))
+    ini = np.zeros((1, d, d), dtype=complex); ini[0, 0, 0] = 1
+    tgt = np.zeros((1, d, d), dtype=complex); tgt[0, 1, 1] = 1
+    costs = [TargetDensityInfidelity(tgt)]
+    ic, mn = initialize_controls(True, 1, 101, 10.0, None, None)
+    pstate = GrapeLindbladDiscreteState(
+        True, 1, 101, 1, costs, 10.0, hamiltonian, None, ic, ini,
+        InterpolationPolicy.LINEAR, TIMED_ITERATIONS, lindblad_data, 0, mn,
+        0, Adam(), None, False, 0, 101)
+    pstate.method_ = LindbladMethod.MAGNUS_EXPM
+    pstate.magnus_policy_ = MagnusPolicy.M2
+    loss = build_lindblad_loss(pstate)
+    shape = pstate.controls_shape
+
+    def loss_flat(flat):
+        return loss(slap_controls_jax(True, flat, shape))
+
+    optimizer = Adam()
+
+    @jax.jit
+    def step(params, opt_state):
+        (error, _), grads = jax.value_and_grad(loss_flat,
+                                               has_aux=True)(params)
+        opt_state, params = optimizer.update_jax(opt_state, grads, params)
+        return params, opt_state, error
+
+    params = jnp.asarray(strip_controls(True, ic))
+    opt_state = optimizer.init_state(params)
+    for _ in range(WARMUP_ITERATIONS):
+        params, opt_state, error = step(params, opt_state)
+    float(error)
+    start = time.perf_counter()
+    for _ in range(TIMED_ITERATIONS):
+        params, opt_state, error = step(params, opt_state)
+    float(error)
+    return TIMED_ITERATIONS / (time.perf_counter() - start)
+
+
 def bench_multistart(n_starts=512):
     """Candidate-iterations/s: n_starts simultaneous candidates on the
     bench-class problem (shorter time mesh so one chip holds the batch)."""
@@ -279,6 +340,10 @@ def main():
             bench_lindblad(LindbladMethod.RKDP5), 2)
     except Exception as exc:  # pragma: no cover
         extra["lindblad_rkdp5_error"] = repr(exc)[:200]
+    try:
+        extra["lindblad_magnus_d20_it_s"] = round(bench_lindblad_d20(), 2)
+    except Exception as exc:  # pragma: no cover
+        extra["lindblad_magnus_d20_error"] = repr(exc)[:200]
 
     try:
         rate, best = bench_multistart()

@@ -27,8 +27,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _rand_h(rng, d):
+    """Random Hermitian scaled to O(1) spectral norm so step norms sit in
+    the GRAPE regime (||A dt|| << 1) for BOTH paths — an unnormalized
+    N(0,1) Hermitian has norm ~sqrt(d) and pushes the f32 XLA path into a
+    diverging squaring-heavy regime that would flatter the kernel."""
     h = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
-    return ((h + h.conj().T) / 2).astype(np.complex64)
+    return ((h + h.conj().T) / (2 * np.sqrt(d))).astype(np.complex64)
 
 
 def time_step(step, params, opt_state, n=20, warmup=2):
