@@ -337,3 +337,38 @@ def test_stream_eligibility_and_plan():
     assert not remat                          # 2001*320*320*8 ~ 1.6 GB < 8
     _, remat_big = chain_block_plan(512, 200_000)
     assert remat_big
+
+
+def test_stream_path_selected_by_driver(capsys):
+    """build_schroedinger_loss routes a d=260 LinearHamiltonian problem to
+    the fused chain path (the streamed regime) — no silent fallback to the
+    generic XLA path above d=256."""
+    from qoc_tpu.core.common import initialize_controls
+    from qoc_tpu.core.schroedinger import build_schroedinger_loss
+    from qoc_tpu.models import (GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy, LinearHamiltonian,
+                                MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import TargetStateInfidelity
+
+    rng = np.random.default_rng(13)
+    d = 260
+    h0 = _random_basis(rng, 1, d, 0.01)[0]
+    ops = _random_basis(rng, 2, d, 0.01)
+    ham = LinearHamiltonian(h0, ops)
+    initial = np.zeros((1, d, 1), dtype=complex); initial[0, 0] = 1
+    target = np.zeros((1, d, 1), dtype=complex); target[0, -1] = 1
+    ic, mn = initialize_controls(True, 2, 5, 4.0, None, None)
+    pstate = GrapeSchroedingerDiscreteState(
+        True, 2, 5, 1, [TargetStateInfidelity(target)], 4.0, ham, None, ic,
+        initial, InterpolationPolicy.LINEAR, 1, 0, mn, MagnusPolicy.M2, 0,
+        Adam(), None, False, 0, 5)
+    try:
+        set_expm_forward("pallas")
+        build_schroedinger_loss(pstate, log_path=True)
+    finally:
+        set_expm_forward("auto")
+    out = capsys.readouterr().out
+    assert "fused Pallas chain kernel" in out, out
+    assert "d=260" in out, out
