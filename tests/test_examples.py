@@ -17,7 +17,8 @@ EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 ALL_EXAMPLES = ("0_transmon_pi", "1_transmon_pi_decoherence", "tutorial",
                 "2_iswap_gate", "3_ensemble_robust", "4_cavity_transfer",
-                "5_multistart_robust", "6_lindblad_ensemble_robust")
+                "5_multistart_robust", "6_lindblad_ensemble_robust",
+                "7_cavity_lindblad")
 
 
 def _import_example(name):
@@ -47,6 +48,9 @@ _RUN_SPECS = [
     ("4_cavity_transfer", {}, False),
     ("5_multistart_robust", {"n_starts": 8}, False),
     ("6_lindblad_ensemble_robust", {"n_starts": 8}, False),
+    # The d=20 showcase runs on TPU; the smoke tier shrinks the cavity so
+    # the CPU superoperators stay small (sop 36 instead of 400).
+    ("7_cavity_lindblad", {"cavity_levels": 6}, False),
 ]
 
 
