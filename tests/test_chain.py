@@ -372,3 +372,56 @@ def test_stream_path_selected_by_driver(capsys):
     out = capsys.readouterr().out
     assert "fused Pallas chain kernel" in out, out
     assert "d=260" in out, out
+
+
+@pytest.mark.slow
+def test_stream_chain_inside_shard_map_ensemble(interpreted_pallas):
+    """The streamed kernel composes with shard_map: the fused ensemble loss
+    at d=260 (stream regime) on a 2-shard mesh matches the generic
+    per-member XLA path in value and gradient."""
+    from qoc_tpu.core.common import initialize_controls
+    from qoc_tpu.models import (EnsembleLinearHamiltonian,
+                                GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy, MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.parallel import build_ensemble_loss, make_mesh
+    from qoc_tpu.standard import TargetStateInfidelity
+
+    rng = np.random.default_rng(21)
+    d = 260
+    h0 = _random_basis(rng, 1, d, 0.02)[0]
+    h0 = (h0 + h0.conj().T) / 2
+    ops = _random_basis(rng, 1, d, 0.02)
+    ens_ham = EnsembleLinearHamiltonian(h0, ops, [h0])
+    members = np.array([[-0.03], [0.05]])
+    initial = np.zeros((1, d, 1), dtype=complex); initial[0, 0] = 1
+    target = np.zeros((1, d, 1), dtype=complex); target[0, 1] = 1
+    ic, mn = initialize_controls(True, 1, 4, 2.0, None, None)
+    pstate = GrapeSchroedingerDiscreteState(
+        True, 1, 4, 1, [TargetStateInfidelity(target)], 2.0, None, None,
+        ic, initial, InterpolationPolicy.LINEAR, 1, 0, mn, MagnusPolicy.M2,
+        0, Adam(), None, False, 0, 4)
+    mesh = make_mesh(2)
+    controls = jnp.asarray(np.asarray(ic, dtype=complex))
+
+    # check_vma=False: interpreted Pallas kernels mis-track varying manual
+    # axes through ref slicing (same limitation the small-d fused tests at
+    # tests/test_parallel.py:151 work around); semantics are unchanged.
+    generic = build_ensemble_loss(pstate, ens_ham, members, mesh,
+                                  check_vma=False)
+    assert not generic.uses_fused_chain
+    e_g, s_g = jax.jit(generic)(controls)
+    g_g = jax.grad(lambda c: generic(c)[0])(controls)
+    try:
+        set_expm_forward("pallas")
+        fused = build_ensemble_loss(pstate, ens_ham, members, mesh,
+                                    check_vma=False)
+        assert fused.uses_fused_chain
+        e_f, s_f = jax.jit(fused)(controls)
+        g_f = jax.grad(lambda c: fused(c)[0])(controls)
+    finally:
+        set_expm_forward("auto")
+    assert abs(float(e_f) - float(e_g)) < 1e-5
+    assert np.abs(np.asarray(s_f) - np.asarray(s_g)).max() < 1e-4
+    assert np.abs(np.asarray(g_f) - np.asarray(g_g)).max() < 1e-4
