@@ -217,10 +217,12 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
                   "(LinearHamiltonian, M2, d={}, block={}, remat={})."
                   "".format(d, block, bool(remat)))
         else:
+            from qoc_tpu.ops.expm import _pallas_size_ok
             expm_impl = ("Pallas expm"
                          if (_EXPM_FORWARD["impl"] == "pallas"
                              or (_EXPM_FORWARD["impl"] == "auto"
                                  and _pallas_ok()))
+                         and _pallas_size_ok(d)
                          else "XLA Taylor expm")
             print("qoc_tpu: propagation path = blocked batched Magnus + {} "
                   "({}). The fused chain kernel is typically ~10x faster "
