@@ -395,3 +395,36 @@ def test_rkdp5_matches_solve_ivp_oscillator():
                                          - y.reshape(2, 2) @ h)).ravel(),
                     (0, 2.0), rho0.ravel(), rtol=1e-12, atol=1e-12)
     assert np.allclose(got, sol.y[:, -1].reshape(2, 2), atol=1e-8)
+
+
+def test_frechet_dual_taylor_matches_block_identity():
+    """The dual-number Taylor Fréchet (the XLA backward's squaring-regime
+    branch since round 4) equals the block-identity evaluation to machine
+    precision across norms, and the expm custom VJP (taylor forward forced)
+    matches AD-through-Padé."""
+    import jax
+    import jax.numpy as jnp
+    from qoc_tpu.ops.expm import (_frechet_dual_taylor, expm, expm_frechet,
+                                  expm_pade, set_expm_forward)
+    rng = np.random.default_rng(0)
+    for d, scale in ((16, 5.0), (16, 0.1), (48, 12.0)):
+        a = ((rng.normal(size=(2, d, d)) + 1j * rng.normal(size=(2, d, d)))
+             * scale / np.sqrt(d))
+        g = rng.normal(size=(2, d, d)) + 1j * rng.normal(size=(2, d, d))
+        at = np.swapaxes(a, -1, -2)
+        want = np.asarray(expm_frechet(jnp.asarray(at), jnp.asarray(g)))
+        got = np.asarray(_frechet_dual_taylor(jnp.asarray(at),
+                                              jnp.asarray(g)))
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-13
+
+    a = (rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))) * 2.0
+    tgt = rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))
+    set_expm_forward("taylor")
+    try:
+        g1 = jax.grad(lambda x: jnp.real(jnp.vdot(tgt, expm(x[None])[0])))(
+            jnp.asarray(a))
+    finally:
+        set_expm_forward("auto")
+    g2 = jax.grad(lambda x: jnp.real(jnp.vdot(tgt, expm_pade(x[None])[0])))(
+        jnp.asarray(a))
+    assert float(jnp.abs(g1 - g2).max() / jnp.abs(g2).max()) < 1e-12
