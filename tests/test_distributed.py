@@ -437,3 +437,109 @@ def test_two_process_multistart_driver(tmp_path):
         errs = np.asarray(f["error"])
         assert errs.shape[0] == 4
         assert np.isfinite(errs).all()
+
+
+_LINDBLAD_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from qoc_tpu.parallel.sharding import initialize_distributed
+
+coordinator, process_id, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+initialize_distributed(coordinator_address=coordinator, num_processes=2,
+                       process_id=process_id)
+
+import numpy as np
+import jax.numpy as jnp
+
+from qoc_tpu.models import (ConstantLindblad, EnsembleLinearHamiltonian,
+                            LindbladMethod)
+from qoc_tpu.optim import Adam
+from qoc_tpu.parallel import grape_lindblad_ensemble, make_mesh
+from qoc_tpu.standard import (SIGMA_Z, TargetDensityInfidelity,
+                              get_annihilation_operator)
+
+h0 = np.asarray(SIGMA_Z) / 2
+a = get_annihilation_operator(2)
+ens_ham = EnsembleLinearHamiltonian(h0, np.stack((a,)), [h0])
+members = np.linspace(-0.05, 0.05, 4).reshape(-1, 1)
+initial = np.array([[[1.0, 0.0], [0.0, 0.0]]], dtype=complex)
+target = np.array([[[0.0, 0.0], [0.0, 1.0]]], dtype=complex)
+costs = [TargetDensityInfidelity(target)]
+lindblad_data = ConstantLindblad(np.array([1e-3]), np.stack([a]))
+
+result = grape_lindblad_ensemble(
+    1, 7, costs, 5.0, ens_ham, members, initial, 21,
+    complex_controls=True, iteration_count=5,
+    lindblad_data=lindblad_data, log_iteration_step=1,
+    method=LindbladMethod.MAGNUS_EXPM, mesh=make_mesh(),
+    optimizer=Adam(learning_rate=0.05),
+    save_file_path=os.path.join(workdir, "00000_lens.h5"),
+    save_iteration_step=1)
+print("LB_DONE {:.12e}".format(float(result.best_error)), flush=True)
+jax.distributed.shutdown()
+"""
+
+
+def test_two_process_lindblad_ensemble_driver(tmp_path):
+    """The open-system ensemble driver runs multi-host too: its density
+    aux replicates for the member-extended H5 rows, process 0 is the only
+    writer, and the result equals a single-process run."""
+    import h5py
+
+    coordinator = "127.0.0.1:{}".format(_free_port())
+    procs = [
+        subprocess.Popen([sys.executable, "-c", _LINDBLAD_WORKER,
+                          coordinator, str(pid), str(tmp_path)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for proc in procs:
+        try:
+            out, err = proc.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            pytest.skip("jax.distributed workers timed out in this "
+                        "environment")
+        outs.append((proc.returncode, out, err))
+    for code, out, err in outs:
+        if code != 0 and "LB_DONE" not in out:
+            if ("UNAVAILABLE" in err or "DEADLINE_EXCEEDED" in err
+                    or "barrier" in err.lower()):
+                pytest.skip("jax.distributed unavailable: " + err[-400:])
+            raise AssertionError("worker failed:\n" + err[-2000:])
+    vals = [float(line.split()[1]) for _, out, _ in outs
+            for line in out.splitlines() if line.startswith("LB_DONE")]
+    assert len(vals) == 2, outs
+    assert np.isclose(vals[0], vals[1], rtol=1e-12)
+    assert "QOC is saving" in outs[0][1]
+    assert "QOC is saving" not in outs[1][1]
+
+    from qoc_tpu.models import (ConstantLindblad, EnsembleLinearHamiltonian,
+                                LindbladMethod)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.parallel import grape_lindblad_ensemble, make_mesh
+    from qoc_tpu.standard import (SIGMA_Z, TargetDensityInfidelity,
+                                  get_annihilation_operator)
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    ens_ham = EnsembleLinearHamiltonian(h0, np.stack((a,)), [h0])
+    members = np.linspace(-0.05, 0.05, 4).reshape(-1, 1)
+    initial = np.array([[[1.0, 0.0], [0.0, 0.0]]], dtype=complex)
+    target = np.array([[[0.0, 0.0], [0.0, 1.0]]], dtype=complex)
+    local = grape_lindblad_ensemble(
+        1, 7, [TargetDensityInfidelity(target)], 5.0, ens_ham, members,
+        initial, 21, complex_controls=True, iteration_count=5,
+        lindblad_data=ConstantLindblad(np.array([1e-3]), np.stack([a])),
+        log_iteration_step=0, method=LindbladMethod.MAGNUS_EXPM,
+        mesh=make_mesh(4), optimizer=Adam(learning_rate=0.05))
+    assert np.isclose(vals[0], local.best_error, rtol=1e-9)
+    with h5py.File(str(tmp_path / "00000_lens.h5"), "r") as f:
+        assert np.asarray(f["final_densities"]).shape == (5, 4, 1, 2, 2)
+        assert np.isfinite(np.asarray(f["error"])).all()
