@@ -82,7 +82,11 @@ _SEGMENTS = 8
 # n_b x 4 MB, while one streamed step costs a 2 x 1 MB plane read against
 # ~20 GFLOP of Taylor work (HBM time is <2% of compute). One chain per
 # grid step (no segment interleave): a (2dp)^2 >= 640^2 dot already fills
-# the MXU pipeline on its own.
+# the MXU pipeline on its own. The dp=512 boundary is hardware-validated:
+# forward+VJP compiles under the _stream_vmem_limit budgets on 1x v5e and
+# matches the XLA reference to ~1e-5 (f32). The dual working set at the
+# next size up (dp=576: 28 x 5.3 MB = 149 MB) exceeds the chip's 128 MB
+# VMEM, so 512 is the structural ceiling for this kernel shape.
 _STREAM_MAX = 512
 
 
