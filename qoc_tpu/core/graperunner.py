@@ -134,6 +134,17 @@ def _resume_start(pstate):
             "single-run one — resume it through the matching "
             "grape_*_multistart driver (same n_starts) or start this run "
             "fresh.")
+    ckpt_opt = kind.split(":", 1)[1] if kind and ":" in kind else None
+    if (ckpt_opt is not None
+            and ckpt_opt != type(pstate.optimizer).__name__
+            and pstate.should_log):
+        # Not an error — warm-starting a different optimizer from the
+        # checkpointed controls is legitimate — but silent moment loss has
+        # surprised users (_restore_opt_state falls back to a fresh state
+        # when the leaf keys don't match).
+        print("qoc_tpu: resume checkpoint was written by {}; this run uses "
+              "{} — restoring params only, optimizer state starts fresh."
+              "".format(ckpt_opt, type(pstate.optimizer).__name__))
     if _RESUME_ITERATION not in resume_state:
         return 0, resume_state
     return int(np.asarray(resume_state[_RESUME_ITERATION])), resume_state
@@ -251,6 +262,23 @@ def _run_host(pstate, result, loss_flat, evolved_key, result_fields,
     else:
         x0 = strip_controls(cc, np.asarray(pstate.initial_controls))
     iterations = max(0, pstate.iteration_count - iteration_start)
+    if iterations == 0:
+        # Resume checkpoint already at/past the requested count: evaluate
+        # the restored controls once so the result is filled (no update,
+        # no H5 rows) — see the fused path's twin.
+        if pstate.should_log:
+            print("qoc_tpu: resume checkpoint is already at iteration {} "
+                  ">= iteration_count {}; evaluating the restored controls "
+                  "without optimizing.".format(iteration_start,
+                                               pstate.iteration_count))
+        controls, error, final_evolved, _ = evaluate(x0)
+        setattr(result, controls_field, controls)
+        setattr(result, error_field, error)
+        setattr(result, evolved_field, final_evolved)
+        setattr(result, iter_field, max(0, iteration_start - 1))
+        result.iteration_count_ran = 0
+        result.iterations_per_s = 0.0
+        return
     with trace_annotation("qoc_tpu.grape.host_loop"):
         optimizer.run(function_wrap, iterations, x0, jacobian_wrap)
     result.iteration_count_ran = state["iteration"] - iteration_start
@@ -465,6 +493,38 @@ def _run_fused(pstate, result, loss_flat, evolved_key, result_fields,
                 pstate, opt_snapshot(carry[0], carry[1], global_iter))
         if bool(device_get(done)):
             break
+
+    if global_iter == iteration_start:
+        # Nothing ran (a resume_from checkpoint already at/past the
+        # requested iteration_count): fill the result from one evaluation
+        # of the restored params instead of returning the sentinel carry
+        # (best_error = floatmax, zero controls).
+        if pstate.should_log:
+            print("qoc_tpu: resume checkpoint is already at iteration {} "
+                  ">= iteration_count {}; evaluating the restored controls "
+                  "without optimizing.".format(iteration_start,
+                                               pstate.iteration_count))
+
+        @jax.jit
+        def eval_once(params_):
+            controls_ = slap_controls_jax(cc, params_, shape)
+            clipped_ = clip_control_norms_jax(controls_, mcn)
+            error_, evolved_ = loss_flat(strip_controls_jax(cc, clipped_))
+            return (error_, strip_controls_jax(cc, clipped_),
+                    jnp.real(evolved_), jnp.imag(evolved_))
+
+        error0, clipped_flat0, ev_re, ev_im = device_get(
+            eval_once(carry[0]))
+        setattr(result, controls_field,
+                slap_controls(cc, np.asarray(clipped_flat0), shape))
+        setattr(result, error_field, float(error0))
+        setattr(result, evolved_field,
+                np.asarray(ev_re) + 1j * np.asarray(ev_im))
+        setattr(result, iter_field, max(0, iteration_start - 1))
+        result.iteration_count_ran = 0
+        result.iterations_per_s = 0.0
+        result.errors = np.zeros((0,))
+        return
 
     best = device_get(best)
     setattr(result, controls_field,

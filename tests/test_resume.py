@@ -254,3 +254,30 @@ def test_checkpoint_kind_tags_written(tmp_path):
         mesh=make_mesh(8, axis_name="candidate"))
     state = H5Checkpointer(ms_path).load_optimizer_state()
     assert checkpoint_kind(state) == "multistart:Adam"
+
+
+def test_resume_finished_run_fills_result(tmp_path, capsys):
+    """resume_from a checkpoint already at iteration_count: the driver
+    evaluates the restored controls once instead of returning the sentinel
+    carry (best_error = floatmax, zero controls), on both the fused and
+    host paths."""
+    from qoc_tpu.optim import LBFGSB
+    path = str(tmp_path / "00000_fin.h5")
+    orig = _run(path, iteration_count=8)
+    resumed = _run(path, iteration_count=8, resume_from=path)
+    out = capsys.readouterr().out
+    assert resumed.iteration_count_ran == 0
+    assert np.isfinite(resumed.best_error)
+    assert resumed.best_error <= orig.errors[-1] + 1e-12
+    assert resumed.best_controls is not None
+    assert np.isfinite(resumed.best_controls).all()
+    # Host path twin (LBFGSB resumes the Adam params; moment-loss notice).
+    resumed_h = grape_schroedinger_discrete(
+        1, 5, [TargetStateInfidelity(_TARGET_STATES)], 4.0, _hamiltonian,
+        _INITIAL_STATES, 5, complex_controls=True, iteration_count=8,
+        log_iteration_step=1, optimizer=LBFGSB(), resume_from=path)
+    out = capsys.readouterr().out
+    assert "restoring params only" in out
+    assert "evaluating the restored controls" in out
+    assert resumed_h.iteration_count_ran == 0
+    assert np.isfinite(resumed_h.best_error)
