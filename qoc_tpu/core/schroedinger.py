@@ -148,7 +148,8 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
         from qoc_tpu.ops.chain_pallas import chain_fused_ok
         if not chain_fused_ok(d, n_steps):
             fused_why = ("problem size outside kernel limits (padded "
-                         "d > 256 or fewer than 16 steps)")
+                         "d > 512, fewer than 16 steps at padded d <= 256, "
+                         "or per-block plane temps over budget)")
     fused_eligible = fused_why is None
     if fused_eligible and remat == "auto":
         # The fused path's remat decision always comes from the kernel's

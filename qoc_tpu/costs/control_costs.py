@@ -104,6 +104,12 @@ class ControlBandwidthMax(Cost):
     peak (reference :67-75). The penalized index sets are static (computed
     from fftfreq at construction), so the jitted cost is a fixed gather +
     reduction.
+
+    Deliberate divergence from a reference defect (docs/migration.md): a
+    channel whose ``max_bandwidth`` is at or above the Nyquist frequency
+    has an EMPTY penalty set and contributes zero cost here; the reference
+    crashes on the empty reduction (``zero-size array to reduction
+    operation``, controlbandwidthmax.py:70-75).
     """
     name = "control_bandwidth_max"
     requires_step_evaluation = False
@@ -123,6 +129,10 @@ class ControlBandwidthMax(Cost):
     def cost(self, controls, states, system_eval_step):
         total = 0.0
         for i, indices in enumerate(self.penalty_indices):
+            if indices.size == 0:
+                # Bound at/above Nyquist: nothing to penalize (see class
+                # docstring — the reference crashes here).
+                continue
             control_fft_sq = jnp.abs(jnp.fft.fft(controls[:, i]))
             penalized = control_fft_sq[jnp.asarray(indices)]
             penalty = jnp.sum(penalized)

@@ -33,9 +33,13 @@ class GrapeSchroedingerResult:
         self.best_iteration = best_iteration
         # qoc_tpu extensions (not in the reference): full iteration history
         # and the measured optimization rate (SURVEY.md §5 observability).
+        # ``iterations_per_s`` is the steady-state rate (first chunk's
+        # trace/compile interval excluded); ``iterations_per_s_mean``
+        # includes it.
         self.iteration_count_ran = 0
         self.errors = None  # ndarray (iterations,) of per-iteration error
         self.iterations_per_s = 0.0
+        self.iterations_per_s_mean = 0.0
 
 
 class EvolveLindbladResult:
@@ -56,3 +60,4 @@ class GrapeLindbladResult:
         self.iteration_count_ran = 0
         self.errors = None
         self.iterations_per_s = 0.0
+        self.iterations_per_s_mean = 0.0

@@ -242,12 +242,17 @@ def _chain_fwd_kernel(degree, segments, w_ref, basis_ref,
         pref_i_ref[0, 0, s] = p[dp:, :dp]
 
 
-def _chain_bwd_kernel(degree, segments, w_ref, basist_ref,
+def _chain_bwd_kernel(degree, segments, per_step_seeds, w_ref, basist_ref,
                       prefpad_r_ref, prefpad_i_ref, seed_r_ref, seed_i_ref,
                       abar_r_ref, abar_i_ref, t_ref, uh_ref):
     """Reversed grid step: advance the conjugated adjoint recursion of all
     S segments of one member. Block index maps present step t = L-1-i
-    blocks; the member axis is the major grid dimension."""
+    blocks; the member axis is the major grid dimension.
+
+    ``per_step_seeds`` (static): seeds stream one block PER STEP (the
+    return_prefixes regime — every prefix carries a cotangent, so the
+    recursion is T_t = seed_t + E(U_{t+1}^H) T_{t+1}); otherwise one seed
+    block per member, injected only at the last step."""
     i = pl.program_id(1)
     dp = abar_r_ref.shape[-1]
     eye2 = jnp.eye(2 * dp, dtype=jnp.float32)
@@ -256,12 +261,20 @@ def _chain_bwd_kernel(degree, segments, w_ref, basist_ref,
     mh_all = _build_m(w_ref[0, 0], basist_ref)
 
     for s in range(segments):
-        # T_t: seed at the last step, else E(U_{t+1}^H) T_{t+1}.
-        def seed():
-            return _embed(seed_r_ref[0, s], seed_i_ref[0, s])
+        if per_step_seeds:
+            # T_t = seed_t (+ recursion term except at the last step).
+            def seed(s=s):
+                return _embed(seed_r_ref[0, 0, s], seed_i_ref[0, 0, s])
 
-        def recur():
-            return _dot(uh_ref[s], t_ref[s])
+            def recur(s=s):
+                return seed() + _dot(uh_ref[s], t_ref[s])
+        else:
+            # T_t: seed at the last step, else E(U_{t+1}^H) T_{t+1}.
+            def seed(s=s):
+                return _embed(seed_r_ref[0, s], seed_i_ref[0, s])
+
+            def recur(s=s):
+                return _dot(uh_ref[s], t_ref[s])
 
         t_cur = lax.cond(i == 0, seed, recur)
         t_ref[s] = t_cur
@@ -319,7 +332,8 @@ def _exact_norm_max(w, basis):
     n_b = w.shape[-1]
     a = jnp.abs(jnp.einsum("jk,kab->jab",
                            w.reshape(-1, n_b).astype(jnp.float32),
-                           jnp.asarray(basis).astype(jnp.complex64)))
+                           jnp.asarray(basis).astype(jnp.complex64),
+                           precision=lax.Precision.HIGHEST))
     n1 = jnp.max(jnp.sum(a, axis=-2)).astype(jnp.float32)
     ninf = jnp.max(jnp.sum(a, axis=-1)).astype(jnp.float32)
     return n1, ninf
@@ -349,7 +363,7 @@ def _fwd_pallas(w_ord, emb, length, dp, degree):
 
 
 def _bwd_pallas(w_ord, embt, prefpad_r, prefpad_i, seed_r, seed_i,
-                length, dp, degree):
+                length, dp, degree, per_step_seeds=False):
     segments = _SEGMENTS
     n_members, _, _, n_b = w_ord.shape
     rev = lambda m, i: (m, length - 1 - i, 0, 0)
@@ -362,14 +376,21 @@ def _bwd_pallas(w_ord, embt, prefpad_r, prefpad_i, seed_r, seed_i,
     # prefpad[t] = P_{t-1} (identity row prepended by the caller).
     pref_spec = pl.BlockSpec((1, 1, segments, dp, dp), rev5,
                              memory_space=pltpu.VMEM)
-    seed_spec = pl.BlockSpec((1, segments, dp, dp), lambda m, i: (m, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
+    if per_step_seeds:
+        # Seeds are (M, L, S, dp, dp): one block per (member, step),
+        # walked in the same reversed order as the prefixes.
+        seed_spec = pref_spec
+    else:
+        seed_spec = pl.BlockSpec((1, segments, dp, dp),
+                                 lambda m, i: (m, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, segments, dp, dp), rev5,
                             memory_space=pltpu.VMEM)
     shapes = (_struct((n_members, length, segments, dp, dp), w_ord),
               _struct((n_members, length, segments, dp, dp), w_ord))
     return _pallas_call(
-        functools.partial(_chain_bwd_kernel, degree, segments),
+        functools.partial(_chain_bwd_kernel, degree, segments,
+                          per_step_seeds),
         grid=(n_members, length),
         in_specs=[w_spec, basis_spec, pref_spec, pref_spec, seed_spec,
                   seed_spec],
@@ -452,8 +473,11 @@ def _stream_planes(w3, basis, d, dp):
     """(M, B, n_b) weights x (n_b, d, d) basis -> padded (M, B, dp, dp)
     f32 (re, im) generator planes (one batched MXU einsum; ~n_b MACs per
     output element — negligible against the kernel's Taylor chain)."""
+    # Exact-f32 (HIGHEST) regardless of the kernels' MXU mode: errors in
+    # the generator feed every downstream Taylor term (same policy as
+    # _build_m; the TPU default is single-pass bf16, ~2^-9 relative).
     a = jnp.einsum("mbk,kij->mbij", w3.astype(jnp.float32),
-                   jnp.asarray(basis))
+                   jnp.asarray(basis), precision=lax.Precision.HIGHEST)
     ar = jnp.real(a).astype(jnp.float32)
     ai = jnp.imag(a).astype(jnp.float32)
     if dp != d:
@@ -595,8 +619,10 @@ def make_chain_expm_propagate(basis):
     scaling-and-squaring for ||A_j||_1 > 1 (exercised by
     ``tests/test_chain.py::test_chain_large_norm_squaring_branch``), so
     callers need no norm bound. Eligibility is purely the size/VMEM
-    conditions in :func:`chain_fused_ok` (padded d <= 256, enough steps,
-    per-block plane temps within budget).
+    conditions in :func:`chain_fused_ok`, which spans two regimes: the
+    basis-resident segment-interleaved kernel (padded d <= 256, >= 16
+    steps, per-block plane temps within budget) and the streamed-generator
+    kernel (256 < padded d <= 512, any step count).
     """
     basis = np.asarray(basis)
 
@@ -621,10 +647,18 @@ def chain_expm_propagate(w, basis):
 
 def _chain_fwd(w, basis):
     d = np.asarray(basis).shape[-1]
-    if -(-d // _ALIGN) * _ALIGN > 256:
+    dp = -(-d // _ALIGN) * _ALIGN
+    if dp > _STREAM_MAX:
+        # A direct caller past chain_fused_ok's limit would otherwise get
+        # an obscure Mosaic VMEM compile failure (the dual working set at
+        # dp=576 already exceeds the chip's 128 MB VMEM).
+        raise ValueError(
+            "chain kernel supports padded d <= {} (got d={}, padded {}); "
+            "check chain_fused_ok before calling, or use the XLA "
+            "expm/tree-reduce path.".format(_STREAM_MAX, d, dp))
+    if dp > 256:
         # Streamed-generator regime: residuals tagged by their length (7 vs
         # 10) for the backward dispatch.
-        dp = -(-d // _ALIGN) * _ALIGN
         return _chain_fwd_stream(w, basis, d, dp)
     emb, embt, d, dp = _basis_stacks(basis)
     batched = w.ndim == 3

@@ -198,6 +198,50 @@ def test_resume_without_checkpoint_falls_back_to_best_controls(tmp_path):
 def test_iterations_per_s_reported(tmp_path):
     result = _run(None, iteration_count=4)
     assert result.iterations_per_s > 0
+    assert result.iterations_per_s_mean > 0
+
+
+def test_iterations_per_s_is_steady_rate(tmp_path, monkeypatch):
+    """result.iterations_per_s must be the meter's STEADY rate (first
+    chunk's trace/compile interval excluded), not the cold-start-biased
+    mean (VERDICT r4 Weak #4). Wiring test: instrument the RateMeter the
+    runner constructs and assert the reported fields come from
+    steady_rate/mean_rate respectively."""
+    from qoc_tpu import core
+    from qoc_tpu.profiler import RateMeter
+
+    class Instrumented(RateMeter):
+        steady_calls = 0
+
+        @property
+        def steady_rate(self):
+            type(self).steady_calls += 1
+            return 123.25
+
+        @property
+        def mean_rate(self):
+            return 45.5
+
+    monkeypatch.setattr(core.graperunner, "RateMeter", Instrumented)
+    # Multiple chunks so steady and mean genuinely differ in real runs.
+    result = _run(None, iteration_count=6, fused_chunk=2)
+    assert Instrumented.steady_calls >= 1
+    assert result.iterations_per_s == 123.25
+    assert result.iterations_per_s_mean == 45.5
+
+
+def test_resume_from_non_grape_file_clean_error(tmp_path):
+    """resume_from an evolve-format save (no controls/error row datasets,
+    no optimizer checkpoint) must raise a clean ValueError naming the file,
+    not a raw KeyError from the fallback loader (VERDICT r4 Weak #3
+    repro)."""
+    evolve_path = str(tmp_path / "00000_evolve.h5")
+    controls = np.full((5, 1), 0.1 + 0.0j)
+    evolve_schroedinger_discrete(4.0, _hamiltonian, _INITIAL_STATES, 5,
+                                 controls=controls,
+                                 save_file_path=evolve_path)
+    with pytest.raises(ValueError, match="not a GRAPE save file"):
+        _run(str(tmp_path / "00000_new.h5"), resume_from=evolve_path)
 
 
 def test_resume_same_file_with_larger_iteration_count(tmp_path):
