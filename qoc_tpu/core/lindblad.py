@@ -179,9 +179,6 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
                 != MagnusPolicy.M2):
             fused_why = "magnus policy {} (fused chain needs M2)".format(
                 getattr(pstate, "magnus_policy_", MagnusPolicy.M2))
-        elif need_trajectory:
-            fused_why = ("step costs / intermediate collection require "
-                         "per-step densities")
         elif cet is None:
             fused_why = "no controls"
         elif not (_EXPM_FORWARD["impl"] == "pallas"
@@ -195,18 +192,34 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
                               if lindblad_data is not None else (None, None))
                 sop_basis = hamiltonian.superoperator_basis(
                     dt, diss, lops).astype(np_complex_dtype())
-                fused_chain = make_chain_expm_propagate(sop_basis)
+                fused_chain = make_chain_expm_propagate(
+                    sop_basis, return_prefixes=need_trajectory)
             else:
                 fused_why = ("superoperator size outside kernel limits "
                              "(padded d^2 > 256, too few steps, or block "
                              "memory over budget)")
+        # Second fused tier (round 5): the generator-PLANE chain op fuses
+        # the superoperator expm-product chain for ANY Hamiltonian
+        # callable, Magnus policy, and time-dependent lindblad_data — the
+        # per-step superoperator planes are built at the XLA level
+        # (differentiated by ordinary AD) and streamed into the kernel.
+        plane_chain = None
+        pallas_on = (_EXPM_FORWARD["impl"] == "pallas"
+                     or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok()))
+        if fused_chain is None and pallas_on:
+            from qoc_tpu.ops.chain_pallas import (
+                plane_chain_ok, plane_chain_propagate,
+                plane_chain_propagate_prefixes)
+            if plane_chain_ok(sop_dim, n_steps):
+                plane_chain = (plane_chain_propagate_prefixes
+                               if need_trajectory else plane_chain_propagate)
 
         # Block size + remat: the fused path uses the kernel's padded-plane
         # accounting — the SAME planner as core/schroedinger.py and
         # parallel/lindblad.py, so one workload gets one (block, remat)
         # decision regardless of entry point (VERDICT r3 Weak #4). The
         # generic superoperator path keeps the propagator-stack heuristics.
-        if fused_chain is not None:
+        if fused_chain is not None or plane_chain is not None:
             from qoc_tpu.ops.chain_pallas import chain_block_plan
             block, plan_remat = chain_block_plan(sop_dim, n_steps)
             if remat == "auto":
@@ -226,8 +239,17 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
         if log_path:
             if fused_chain is not None:
                 print("qoc_tpu: Lindblad propagation path = fused Pallas "
-                      "superoperator chain kernel (d^2={}, block={})."
-                      "".format(sop_dim, block))
+                      "superoperator chain kernel (d^2={}, block={}{})."
+                      "".format(sop_dim, block,
+                                ", per-step prefixes" if need_trajectory
+                                else ""))
+            elif plane_chain is not None:
+                print("qoc_tpu: Lindblad propagation path = fused Pallas "
+                      "superoperator plane-chain kernel ({}, d^2={}, "
+                      "block={}{}).".format(
+                          getattr(pstate, "magnus_policy_", MagnusPolicy.M2),
+                          sop_dim, block,
+                          ", per-step prefixes" if need_trajectory else ""))
             else:
                 print("qoc_tpu: Lindblad propagation path = blocked batched "
                       "Magnus+expm superoperators ({}).".format(fused_why))
@@ -249,12 +271,53 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
                 vec, error = carry  # (K, d^2)
                 ks_block, valid = xs
                 times = (ks_block - 1).astype(rdt) * dt
-                if fused_chain is not None:
-                    # f32 at the custom_vjp boundary: the kernel computes
-                    # (and returns cotangents) in float32.
-                    w = (fused_weights(controls, times)
-                         * valid[:, None].astype(rdt)).astype(jnp.float32)
-                    prod = fused_chain(w)
+                if fused_chain is not None or plane_chain is not None:
+                    if fused_chain is not None:
+                        # f32 at the custom_vjp boundary: the kernel
+                        # computes (and returns cotangents) in float32.
+                        w = (fused_weights(controls, times)
+                             * valid[:, None].astype(rdt)).astype(
+                                 jnp.float32)
+                        chain_in = w
+                        chain_fn = fused_chain
+                    else:
+                        # Plane path: superoperator Magnus planes built at
+                        # the XLA level (any policy / Hamiltonian /
+                        # lindblad_data); zeroed planes -> exp(0) = I.
+                        mags = jax.vmap(
+                            lambda t: magnus(generator, dt, t))(times)
+                        chain_in = jnp.where(
+                            valid[:, None, None], mags,
+                            jnp.zeros((), dtype=mags.dtype))
+                        chain_fn = plane_chain
+                    if need_trajectory:
+                        # Kernel prefixes -> per-step densities (the
+                        # superoperator twin of the Schrödinger fused
+                        # trajectory branch; cotangents per-step-seed the
+                        # backward kernel, ops/chain_pallas.py).
+                        prod, prefixes = chain_fn(chain_in)
+                        vec_all = jnp.einsum("tij,kj->tki", prefixes, vec)
+                        densities_all = vec_all.reshape(
+                            vec_all.shape[0], density_count, hilbert_size,
+                            hilbert_size)
+                        if step_costs:
+                            def one_step_cost(dens, k):
+                                step_error = jnp.asarray(0.0, dtype=rdt)
+                                for cost in step_costs:
+                                    step_error = step_error + cost.cost(
+                                        controls, dens, k)
+                                is_cost_step = (k % cost_eval_step) == 0
+                                return jnp.where(is_cost_step, step_error,
+                                                 0.0)
+                            block_costs = jax.vmap(one_step_cost)(
+                                densities_all, ks_block)
+                            error = error + jnp.sum(
+                                jnp.where(valid, block_costs, 0.0))
+                        out = (densities_all if collect_intermediates
+                               else None)
+                        new_vec = jnp.einsum("ij,kj->ki", prod, vec)
+                        return (new_vec, error), out
+                    prod = chain_fn(chain_in)
                     new_vec = jnp.einsum("ij,kj->ki", prod, vec)
                     return (new_vec, error), None
                 mags = jax.vmap(

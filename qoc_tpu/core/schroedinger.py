@@ -130,15 +130,12 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
     # the one-time path log — silent 10x regressions (step costs, M4,
     # d > 256, tiny blocks) cost users real debugging time otherwise.
     fused_why = None
+    need_trajectory = bool(step_costs) or collect_intermediates
     if not isinstance(hamiltonian, LinearHamiltonian):
         fused_why = "hamiltonian is not a LinearHamiltonian"
     elif pstate.magnus_policy != MagnusPolicy.M2:
         fused_why = "magnus policy {} (fused chain needs M2)".format(
             pstate.magnus_policy)
-    elif step_costs:
-        fused_why = "step costs require per-step states"
-    elif collect_intermediates:
-        fused_why = "intermediate-state collection requires per-step states"
     elif cet is None:
         fused_why = "no controls"
     elif not (_EXPM_FORWARD["impl"] == "pallas"
@@ -151,8 +148,19 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
                          "d > 512, fewer than 16 steps at padded d <= 256, "
                          "or per-block plane temps over budget)")
     fused_eligible = fused_why is None
-    if fused_eligible and remat == "auto":
-        # The fused path's remat decision always comes from the kernel's
+    # Second fused tier (round 5): the generator-PLANE chain op fuses the
+    # expm-product chain for ANY jax-traceable Hamiltonian and any Magnus
+    # policy (the M4/M6 commutator terms and arbitrary callables build the
+    # per-step generator planes at the XLA level, differentiated by
+    # ordinary AD into the op's exact plane-cotangent VJP).
+    pallas_on = (_EXPM_FORWARD["impl"] == "pallas"
+                 or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok()))
+    plane_eligible = False
+    if not fused_eligible and pallas_on:
+        from qoc_tpu.ops.chain_pallas import plane_chain_ok
+        plane_eligible = plane_chain_ok(d, n_steps)
+    if (fused_eligible or plane_eligible) and remat == "auto":
+        # The fused paths' remat decision always comes from the kernel's
         # padded-plane accounting, whether or not the user picked the block
         # size themselves (the complex-propagator heuristic below would be
         # over-conservative for the same workload).
@@ -195,10 +203,14 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
         return jnp.where(is_cost_step, step_error, 0.0)
 
     # Fully fused chain path: for the declared-linear Hamiltonian structure
-    # under Magnus-M2 with no per-step state consumers, each time block's
-    # generator build + expm + ordered product run inside one Pallas kernel
-    # with an exact custom VJP (ops/chain_pallas.py) — the only HBM traffic
-    # is the control weights in and the prefix residuals out.
+    # under Magnus-M2, each time block's generator build + expm + ordered
+    # product run inside one Pallas kernel with an exact custom VJP
+    # (ops/chain_pallas.py) — the only HBM traffic is the control weights
+    # in and the prefix residuals out. Step costs / intermediate recording
+    # fuse too (round 5): the kernel's per-step prefix residuals come back
+    # as a first-class output (return_prefixes), per-step states are one
+    # batched einsum away, and the prefix cotangents seed the backward
+    # kernel's adjoint recursion step-by-step.
     fused_chain = None
     if fused_eligible:
         from qoc_tpu.ops.chain_pallas import (chain_fused_ok,
@@ -208,25 +220,39 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
         if chain_fused_ok(d, block):
             basis = hamiltonian.generator_basis(dt).astype(
                 np_complex_dtype())
-            fused_chain = make_chain_expm_propagate(basis)
+            fused_chain = make_chain_expm_propagate(
+                basis, return_prefixes=need_trajectory)
         else:
             fused_why = ("time_block_size {} below the fused kernel's "
                          "segment floor".format(block))
+    plane_chain = None
+    if fused_chain is None and plane_eligible:
+        from qoc_tpu.ops.chain_pallas import (plane_chain_ok,
+                                              plane_chain_propagate,
+                                              plane_chain_propagate_prefixes)
+        if plane_chain_ok(d, block):
+            plane_chain = (plane_chain_propagate_prefixes if need_trajectory
+                           else plane_chain_propagate)
     if log_path:
         if fused_chain is not None:
             print("qoc_tpu: propagation path = fused Pallas chain kernel "
-                  "(LinearHamiltonian, M2, d={}, block={}, remat={})."
-                  "".format(d, block, bool(remat)))
+                  "(LinearHamiltonian, M2, d={}, block={}, remat={}{})."
+                  "".format(d, block, bool(remat),
+                            ", per-step prefixes" if need_trajectory
+                            else ""))
+        elif plane_chain is not None:
+            print("qoc_tpu: propagation path = fused Pallas plane-chain "
+                  "kernel ({}, d={}, block={}, remat={}{})."
+                  "".format(pstate.magnus_policy, d, block, bool(remat),
+                            ", per-step prefixes" if need_trajectory
+                            else ""))
         else:
             from qoc_tpu.ops.expm import _pallas_size_ok
             expm_impl = ("Pallas expm"
-                         if (_EXPM_FORWARD["impl"] == "pallas"
-                             or (_EXPM_FORWARD["impl"] == "auto"
-                                 and _pallas_ok()))
-                         and _pallas_size_ok(d)
+                         if pallas_on and _pallas_size_ok(d)
                          else "XLA Taylor expm")
             print("qoc_tpu: propagation path = blocked batched Magnus + {} "
-                  "({}). The fused chain kernel is typically ~10x faster "
+                  "({}). The fused chain kernels are typically 4-10x faster "
                   "when applicable.".format(expm_impl, fused_why))
 
     def fused_weights(controls, times):
@@ -247,19 +273,46 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
         # with a log-depth associative prefix scan, and only the block-level
         # composition is sequential. This replaces the reference's strictly
         # sequential per-step Python loop (schroedingerdiscrete.py:393).
-        need_trajectory = bool(step_costs) or collect_intermediates
 
         def block_body(carry, xs):
             states, error = carry
             ks_block, valid = xs
             times = (ks_block - 1).astype(rdt) * dt
-            if fused_chain is not None:
-                # Zeroed weight rows make padded steps exp(0) = I exactly.
-                # f32 at the custom_vjp boundary: the kernel computes (and
-                # returns cotangents) in float32.
-                w = (fused_weights(controls, times)
-                     * valid[:, None].astype(rdt)).astype(jnp.float32)
-                prod = fused_chain(w)
+            if fused_chain is not None or plane_chain is not None:
+                if fused_chain is not None:
+                    # Zeroed weight rows make padded steps exp(0) = I
+                    # exactly. f32 at the custom_vjp boundary: the kernel
+                    # computes (and returns cotangents) in float32.
+                    w = (fused_weights(controls, times)
+                         * valid[:, None].astype(rdt)).astype(jnp.float32)
+                    chain_out = fused_chain(w)
+                else:
+                    # Plane path: Magnus generators built at the XLA level
+                    # (any policy / Hamiltonian), streamed into the fused
+                    # kernel; zeroed planes make padded steps exp(0) = I.
+                    mags = jax.vmap(
+                        lambda t: magnus_term_at(controls, t))(times)
+                    mags = jnp.where(valid[:, None, None], mags,
+                                     jnp.zeros((), dtype=mags.dtype))
+                    chain_out = plane_chain(mags)
+                if need_trajectory:
+                    # Kernel prefixes -> per-step states, exactly like the
+                    # generic prefix-scan branch below; the prefix
+                    # cotangents flow into the kernel's per-step-seeded
+                    # backward (ops/chain_pallas.py return_prefixes).
+                    prod, prefixes = chain_out
+                    states_all = jnp.einsum("tij,kjl->tkil", prefixes,
+                                            states,
+                                            precision=MATMUL_PRECISION)
+                    if step_costs:
+                        block_costs = jax.vmap(
+                            lambda s, k: step_cost_values(controls, s, k)
+                        )(states_all, ks_block)
+                        error = error + jnp.sum(
+                            jnp.where(valid, block_costs, 0.0))
+                    out = states_all if collect_intermediates else None
+                    return (mul(prod, states), error), out
+                prod = chain_out
                 return (mul(prod, states), error), None
             # One batched expm over the whole block (single kernel; lets the
             # Pallas fused kernel take the batch as its grid).

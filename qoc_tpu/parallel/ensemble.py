@@ -68,12 +68,13 @@ def build_ensemble_loss(pstate, hamiltonian, hamiltonian_params, mesh,
     stacked along the (sharded) ensemble axis.
 
     When ``hamiltonian`` is an :class:`EnsembleLinearHamiltonian` (affine
-    member dependence) and the problem is in the fused regime (Magnus M2, no
-    step costs, Pallas available), every member shard propagates through the
-    fused chain-propagation kernel (ops/chain_pallas.py) with the member
+    member dependence) and the problem is in the fused regime (Magnus M2,
+    Pallas available), every member shard propagates through the fused
+    chain-propagation kernel (ops/chain_pallas.py) with the member
     parameters as extra constant weight columns — the fastest path; the
-    returned loss has ``uses_fused_chain=True``. Otherwise each member rolls
-    out the generic magnus+expm loss under ``vmap``.
+    returned loss has ``uses_fused_chain=True``. Step costs fuse too (the
+    kernel's per-step prefixes come back as an output, round 5). Otherwise
+    each member rolls out the generic magnus+expm loss under ``vmap``.
     """
     hamiltonian_params = np.asarray(hamiltonian_params)
     hamiltonian_params = hamiltonian_params.astype(
@@ -148,8 +149,6 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
     if pstate.magnus_policy != MagnusPolicy.M2:
         return None, "magnus policy {} (fused chain needs M2)".format(
             pstate.magnus_policy)
-    if pstate.step_costs:
-        return None, "step costs require per-step states"
     if pstate.control_eval_times is None:
         return None, "no controls"
     if not (_EXPM_FORWARD["impl"] == "pallas"
@@ -184,10 +183,14 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
     pad = n_blocks * block - n_steps
     cet = np.asarray(pstate.control_eval_times, dtype=rdt)
     costs = pstate.costs
+    step_costs = pstate.step_costs
+    cost_eval_step = pstate.cost_eval_step
+    need_trajectory = bool(step_costs)
     final_step = pstate.final_system_eval_step
     p_count = hamiltonian.param_count
     basis = hamiltonian.generator_basis(dt).astype(np_complex_dtype())
-    fused_chain = make_chain_expm_propagate(basis)
+    fused_chain = make_chain_expm_propagate(
+        basis, return_prefixes=need_trajectory)
     params = params.astype(np.dtype(rdt).name)
 
     def shard_fn(controls, params_shard):
@@ -217,13 +220,36 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
             ), axis=-1)
             return (w * valid[None, :, None].astype(rdt)).astype(jnp.float32)
 
-        def block_body(states, xs):
+        def step_cost_values(states_k, k):
+            step_error = jnp.asarray(0.0, dtype=rdt)
+            for cost in step_costs:
+                step_error = step_error + cost.cost(controls, states_k, k)
+            is_cost_step = (k % cost_eval_step) == 0
+            return jnp.where(is_cost_step, step_error, 0.0)
+
+        def block_body(carry, xs):
+            states, errs = carry
             ks_block, valid = xs
             times = (ks_block - 1).astype(rdt) * dt
-            prods = fused_chain(weights(times, valid))   # (M_s, d, d)
+            if need_trajectory:
+                # Per-member kernel prefixes -> per-step states; the prefix
+                # cotangents seed the backward kernel per step
+                # (ops/chain_pallas.py return_prefixes, batched form).
+                prods, prefixes = fused_chain(weights(times, valid))
+                states_all = jnp.einsum("mtij,mkjl->mtkil", prefixes,
+                                        states, precision=MATMUL_PRECISION)
+
+                def member_block_cost(states_all_m):
+                    per_step = jax.vmap(step_cost_values)(states_all_m,
+                                                          ks_block)
+                    return jnp.sum(jnp.where(valid, per_step, 0.0))
+
+                errs = errs + jax.vmap(member_block_cost)(states_all)
+            else:
+                prods = fused_chain(weights(times, valid))   # (M_s, d, d)
             states = jnp.einsum("mij,mkjl->mkil", prods, states,
                                 precision=MATMUL_PRECISION)
-            return states, None
+            return (states, errs), None
 
         body_fn = jax.checkpoint(block_body) if remat else block_body
         ks = jnp.arange(1, pstate.system_eval_count)
@@ -235,9 +261,11 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
         states0 = jnp.broadcast_to(
             jnp.asarray(initial_states)[None],
             (m_per_shard,) + initial_states.shape)
+        errs0 = jnp.zeros((m_per_shard,), dtype=rdt)
         if check_vma:
             states0 = lax.pcast(states0, (axis_name,), to="varying")
-        states, _ = lax.scan(body_fn, states0, xs)
+            errs0 = lax.pcast(errs0, (axis_name,), to="varying")
+        (states, step_errs), _ = lax.scan(body_fn, (states0, errs0), xs)
 
         def member_cost(states_m):
             err = jnp.asarray(0.0, dtype=rdt)
@@ -246,7 +274,7 @@ def _build_fused_ensemble_loss(pstate, hamiltonian, params, mesh, axis_name,
                     err = err + cost.cost(controls, states_m, final_step)
             return err
 
-        errs = jax.vmap(member_cost)(states)
+        errs = jax.vmap(member_cost)(states) + step_errs
         total = lax.psum(jnp.sum(errs), axis_name)
         return total / n_members, states
 

@@ -92,8 +92,6 @@ def _fused_eligibility(pstate, hamiltonian, ensemble):
     if getattr(pstate, "magnus_policy_", MagnusPolicy.M2) != MagnusPolicy.M2:
         return "magnus policy {} (fused chain needs M2)".format(
             getattr(pstate, "magnus_policy_", MagnusPolicy.M2))
-    if pstate.step_costs:
-        return "step costs require per-step densities"
     if pstate.control_eval_times is None:
         return "no controls"
     if not (_EXPM_FORWARD["impl"] == "pallas"
@@ -225,10 +223,14 @@ def _build_fused_lindblad_ensemble_loss(pstate, hamiltonian, params, mesh,
     pad = n_blocks * block - n_steps
     cet = np.asarray(pstate.control_eval_times, dtype=rdt)
     costs = pstate.costs
+    step_costs = pstate.step_costs
+    cost_eval_step = pstate.cost_eval_step
+    need_trajectory = bool(step_costs)
     final_step = pstate.final_system_eval_step
     p_count = hamiltonian.param_count
     basis = _superop_basis(pstate, hamiltonian)
-    fused_chain = make_chain_expm_propagate(basis)
+    fused_chain = make_chain_expm_propagate(
+        basis, return_prefixes=need_trajectory)
     params = params.astype(np.dtype(rdt).name)
 
     def shard_fn(controls, params_shard):
@@ -253,12 +255,37 @@ def _build_fused_lindblad_ensemble_loss(pstate, hamiltonian, params, mesh,
             ), axis=-1)
             return (w * valid[None, :, None].astype(rdt)).astype(jnp.float32)
 
-        def block_body(vec, xs):
+        def step_cost_values(densities_k, k):
+            step_error = jnp.asarray(0.0, dtype=rdt)
+            for cost in step_costs:
+                step_error = step_error + cost.cost(controls, densities_k,
+                                                    k)
+            is_cost_step = (k % cost_eval_step) == 0
+            return jnp.where(is_cost_step, step_error, 0.0)
+
+        def block_body(carry, xs):
+            vec, errs = carry
             ks_block, valid = xs
             times = (ks_block - 1).astype(rdt) * dt
-            prods = fused_chain(weights(times, valid))  # (M_s, d^2, d^2)
+            if need_trajectory:
+                # Per-member kernel prefixes -> per-step densities; prefix
+                # cotangents seed the backward kernel per step
+                # (ops/chain_pallas.py return_prefixes, batched form).
+                prods, prefixes = fused_chain(weights(times, valid))
+                vec_all = jnp.einsum("mtij,mkj->mtki", prefixes, vec)
+                densities_all = vec_all.reshape(
+                    m_per_shard, vec_all.shape[1], density_count, d, d)
+
+                def member_block_cost(densities_all_m):
+                    per_step = jax.vmap(step_cost_values)(densities_all_m,
+                                                          ks_block)
+                    return jnp.sum(jnp.where(valid, per_step, 0.0))
+
+                errs = errs + jax.vmap(member_block_cost)(densities_all)
+            else:
+                prods = fused_chain(weights(times, valid))  # (M_s, d², d²)
             vec = jnp.einsum("mij,mkj->mki", prods, vec)
-            return vec, None
+            return (vec, errs), None
 
         body_fn = jax.checkpoint(block_body) if remat else block_body
         ks = jnp.arange(1, pstate.system_eval_count)
@@ -271,9 +298,11 @@ def _build_fused_lindblad_ensemble_loss(pstate, hamiltonian, params, mesh,
             jnp.asarray(initial_densities.reshape(density_count,
                                                   sop_dim))[None],
             (m_per_shard, density_count, sop_dim))
+        errs0 = jnp.zeros((m_per_shard,), dtype=rdt)
         if check_vma:
             vec0 = lax.pcast(vec0, (axis_name,), to="varying")
-        vec, _ = lax.scan(body_fn, vec0, xs)
+            errs0 = lax.pcast(errs0, (axis_name,), to="varying")
+        (vec, step_errs), _ = lax.scan(body_fn, (vec0, errs0), xs)
         densities = vec.reshape(m_per_shard, density_count, d, d)
 
         def member_cost(densities_m):
@@ -283,7 +312,7 @@ def _build_fused_lindblad_ensemble_loss(pstate, hamiltonian, params, mesh,
                     err = err + cost.cost(controls, densities_m, final_step)
             return err
 
-        errs = jax.vmap(member_cost)(densities)
+        errs = jax.vmap(member_cost)(densities) + step_errs
         total = lax.psum(jnp.sum(errs), axis_name)
         return total / n_members, densities
 

@@ -54,6 +54,103 @@ def test_chain_forward_and_grad_match_reference(interpreted_pallas):
         assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3, b
 
 
+def test_chain_prefixes_forward_and_grad_match_reference(interpreted_pallas):
+    """return_prefixes=True (VERDICT r4 Missing #1): the full per-step
+    prefix stack matches the reference scan, and a loss touching MANY
+    prefixes (the step-cost shape) gets exact gradients through the
+    per-step-seeded adjoint recursion — resident regime, including the
+    segment-composition and padding paths."""
+    from qoc_tpu.ops.chain_pallas import (chain_expm_propagate_reference,
+                                          make_chain_expm_propagate)
+    rng = np.random.default_rng(31)
+    d, n_b = 8, 4
+    basis = _random_basis(rng, n_b, d, 0.02)
+    tgt = (rng.normal(size=(d, d))
+           + 1j * rng.normal(size=(d, d))).astype(np.complex64)
+    for b in (16, 37):  # exact multiple and padded-segment cases
+        w = rng.normal(size=(b, n_b)).astype(np.float32)
+        prop = make_chain_expm_propagate(basis, return_prefixes=True)
+        total, prefixes = prop(jnp.asarray(w))
+        r_total, r_pref = chain_expm_propagate_reference(
+            jnp.asarray(w), basis, return_prefixes=True)
+        assert prefixes.shape == (b, d, d)
+        scale = np.abs(np.asarray(r_pref)).max()
+        assert np.abs(np.asarray(prefixes)
+                      - np.asarray(r_pref)).max() / scale < 1e-4
+        assert np.abs(np.asarray(total)
+                      - np.asarray(r_total)).max() / scale < 1e-4
+
+        # Step-cost-shaped loss: weighted sum over EVERY prefix plus a
+        # final-product term (both cotangent paths exercised at once).
+        coeff = rng.normal(size=(b,)).astype(np.float32)
+
+        def loss_fused(ww):
+            tot, prefs = prop(ww)
+            step = jnp.sum(jnp.asarray(coeff)
+                           * jnp.sum(jnp.abs(prefs - tgt) ** 2, axis=(1, 2)))
+            return step + jnp.sum(jnp.abs(tot - tgt) ** 2)
+
+        def loss_ref(ww):
+            tot, prefs = chain_expm_propagate_reference(
+                ww, basis, return_prefixes=True)
+            step = jnp.sum(jnp.asarray(coeff)
+                           * jnp.sum(jnp.abs(prefs - tgt) ** 2, axis=(1, 2)))
+            return step + jnp.sum(jnp.abs(tot - tgt) ** 2)
+
+        g_f = np.asarray(jax.grad(loss_fused)(jnp.asarray(w)))
+        g_r = np.asarray(jax.grad(loss_ref)(jnp.asarray(w)))
+        assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3, b
+
+    # Batched members.
+    wm = rng.normal(size=(2, 16, n_b)).astype(np.float32)
+    prop = make_chain_expm_propagate(basis, return_prefixes=True)
+    total_m, pref_m = prop(jnp.asarray(wm))
+    assert pref_m.shape == (2, 16, d, d)
+    for m in range(2):
+        _, want = chain_expm_propagate_reference(jnp.asarray(wm[m]), basis,
+                                                 return_prefixes=True)
+        assert np.abs(np.asarray(pref_m[m]) - np.asarray(want)).max() < 1e-4
+
+
+def test_stream_chain_prefixes_match_reference(interpreted_pallas):
+    """return_prefixes in the streamed regime (256 < padded d <= 512):
+    per-step prefixes and per-step-seeded gradients match the reference."""
+    from qoc_tpu.ops.chain_pallas import (chain_expm_propagate_reference,
+                                          make_chain_expm_propagate)
+    rng = np.random.default_rng(33)
+    d, n_b, b = 260, 3, 3
+    basis = _random_basis(rng, n_b, d, 0.01 / n_b)
+    prop = make_chain_expm_propagate(basis, return_prefixes=True)
+    w = rng.normal(size=(b, n_b)).astype(np.float32)
+    total, prefixes = prop(jnp.asarray(w))
+    r_total, r_pref = chain_expm_propagate_reference(
+        jnp.asarray(w), basis, return_prefixes=True)
+    scale = np.abs(np.asarray(r_pref)).max()
+    assert np.abs(np.asarray(prefixes)
+                  - np.asarray(r_pref)).max() / scale < 1e-4
+
+    coeff = rng.normal(size=(b,)).astype(np.float32)
+    tgt = (rng.normal(size=(d, d))
+           + 1j * rng.normal(size=(d, d))).astype(np.complex64)
+
+    def loss_fused(ww):
+        tot, prefs = prop(ww)
+        return (jnp.sum(jnp.asarray(coeff) * jnp.sum(
+            jnp.abs(prefs - tgt) ** 2, axis=(1, 2)))
+            + jnp.sum(jnp.abs(tot - tgt) ** 2))
+
+    def loss_ref(ww):
+        tot, prefs = chain_expm_propagate_reference(ww, basis,
+                                                    return_prefixes=True)
+        return (jnp.sum(jnp.asarray(coeff) * jnp.sum(
+            jnp.abs(prefs - tgt) ** 2, axis=(1, 2)))
+            + jnp.sum(jnp.abs(tot - tgt) ** 2))
+
+    g_f = np.asarray(jax.grad(loss_fused)(jnp.asarray(w)))
+    g_r = np.asarray(jax.grad(loss_ref)(jnp.asarray(w)))
+    assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3
+
+
 def test_chain_large_norm_squaring_branch(interpreted_pallas):
     from qoc_tpu.ops.chain_pallas import (chain_expm_propagate_reference,
                                           make_chain_expm_propagate)
@@ -79,6 +176,124 @@ def test_chain_large_norm_squaring_branch(interpreted_pallas):
 
     g_f = np.asarray(jax.grad(lf)(jnp.asarray(w)))
     g_r = np.asarray(jax.grad(lr)(jnp.asarray(w)))
+    assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3
+
+
+def _plane_reference(a):
+    """XLA oracle for the plane chain: expm each plane, scan the product."""
+    from qoc_tpu.ops.expm import expm
+    us = expm(a)
+    d = us.shape[-1]
+
+    def body(carry, u):
+        new = u @ carry
+        return new, new
+
+    total, prefixes = jax.lax.scan(body, jnp.eye(d, dtype=us.dtype), us)
+    return total, prefixes
+
+
+def test_plane_chain_forward_and_grad_match_reference(interpreted_pallas):
+    """Generator-plane chain op (VERDICT r4 Missing #2 infrastructure):
+    totals and plane cotangents match AD through the XLA reference, across
+    segment counts (plane counts straddling the interleave floor) and
+    padding."""
+    from qoc_tpu.ops.chain_pallas import plane_chain_propagate
+    rng = np.random.default_rng(51)
+    d = 8
+    tgt = (rng.normal(size=(d, d))
+           + 1j * rng.normal(size=(d, d))).astype(np.complex64)
+    for b in (3, 16, 37):  # S=1, S=8 exact, S=8 padded
+        a = (0.05 * (rng.normal(size=(b, d, d))
+                     + 1j * rng.normal(size=(b, d, d)))).astype(np.complex64)
+        got = np.asarray(plane_chain_propagate(jnp.asarray(a)))
+        want = np.asarray(_plane_reference(jnp.asarray(a))[0])
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-4, b
+
+        def loss_fused(x):
+            return jnp.sum(jnp.abs(plane_chain_propagate(x) - tgt) ** 2)
+
+        def loss_ref(x):
+            return jnp.sum(jnp.abs(_plane_reference(x)[0] - tgt) ** 2)
+
+        g_f = jax.grad(loss_fused)(jnp.asarray(a))
+        g_r = jax.grad(loss_ref)(jnp.asarray(a))
+        assert np.abs(np.asarray(g_f) - np.asarray(g_r)).max() \
+            / np.abs(np.asarray(g_r)).max() < 1e-3, b
+
+    # Batched members.
+    am = (0.05 * (rng.normal(size=(2, 16, d, d))
+                  + 1j * rng.normal(size=(2, 16, d, d)))).astype(
+                      np.complex64)
+    tot_m = np.asarray(plane_chain_propagate(jnp.asarray(am)))
+    for m in range(2):
+        want_m = np.asarray(_plane_reference(jnp.asarray(am[m]))[0])
+        assert np.abs(tot_m[m] - want_m).max() / np.abs(want_m).max() < 1e-4
+
+
+def test_plane_chain_prefixes_and_step_seeds(interpreted_pallas):
+    """Prefix variant: per-step stacks match, and a loss over EVERY prefix
+    (the step-cost shape) gets exact plane cotangents through the
+    per-step-seeded adjoint."""
+    from qoc_tpu.ops.chain_pallas import plane_chain_propagate_prefixes
+    rng = np.random.default_rng(53)
+    d, b = 8, 20
+    a = (0.05 * (rng.normal(size=(b, d, d))
+                 + 1j * rng.normal(size=(b, d, d)))).astype(np.complex64)
+    tgt = (rng.normal(size=(d, d))
+           + 1j * rng.normal(size=(d, d))).astype(np.complex64)
+    coeff = rng.normal(size=(b,)).astype(np.float32)
+
+    total, prefixes = plane_chain_propagate_prefixes(jnp.asarray(a))
+    r_total, r_pref = _plane_reference(jnp.asarray(a))
+    scale = np.abs(np.asarray(r_pref)).max()
+    assert np.abs(np.asarray(prefixes) - np.asarray(r_pref)).max() \
+        / scale < 1e-4
+
+    def loss_fused(x):
+        tot, prefs = plane_chain_propagate_prefixes(x)
+        return (jnp.sum(jnp.asarray(coeff) * jnp.sum(
+            jnp.abs(prefs - tgt) ** 2, axis=(1, 2)))
+            + jnp.sum(jnp.abs(tot - tgt) ** 2))
+
+    def loss_ref(x):
+        tot, prefs = _plane_reference(x)
+        return (jnp.sum(jnp.asarray(coeff) * jnp.sum(
+            jnp.abs(prefs - tgt) ** 2, axis=(1, 2)))
+            + jnp.sum(jnp.abs(tot - tgt) ** 2))
+
+    g_f = np.asarray(jax.grad(loss_fused)(jnp.asarray(a)))
+    g_r = np.asarray(jax.grad(loss_ref)(jnp.asarray(a)))
+    assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3
+
+
+def test_plane_chain_composes_with_plane_build_ad(interpreted_pallas):
+    """The intended composition: ordinary AD through a differentiable plane
+    build (here the exact Magnus-M4 formula with commutator term) into the
+    op's custom VJP matches full AD through the XLA reference."""
+    from qoc_tpu.ops.chain_pallas import plane_chain_propagate
+    rng = np.random.default_rng(55)
+    d, n_b, b = 6, 3, 16
+    basis = _random_basis(rng, n_b, d, 0.05)
+    w1 = rng.normal(size=(b, n_b)).astype(np.float32)
+    w2 = rng.normal(size=(b, n_b)).astype(np.float32)
+    tgt = (rng.normal(size=(d, d))
+           + 1j * rng.normal(size=(d, d))).astype(np.complex64)
+
+    def planes(w):
+        a1 = jnp.einsum("jk,kab->jab", w, jnp.asarray(basis))
+        a2 = jnp.einsum("jk,kab->jab", jnp.asarray(w2), jnp.asarray(basis))
+        comm = a2 @ a1 - a1 @ a2
+        return 0.5 * (a1 + a2) + 0.1 * comm
+
+    def loss_fused(w):
+        return jnp.sum(jnp.abs(plane_chain_propagate(planes(w)) - tgt) ** 2)
+
+    def loss_ref(w):
+        return jnp.sum(jnp.abs(_plane_reference(planes(w))[0] - tgt) ** 2)
+
+    g_f = np.asarray(jax.grad(loss_fused)(jnp.asarray(w1)))
+    g_r = np.asarray(jax.grad(loss_ref)(jnp.asarray(w1)))
     assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3
 
 
@@ -156,6 +371,366 @@ def test_fused_loss_matches_generic_path(interpreted_pallas):
     err_gen, _ = loss_generic(jnp.asarray(controls))
     g_gen = np.asarray(jax.grad(lambda c: loss_generic(c)[0])(
         jnp.asarray(controls)))
+    assert abs(err_fused - float(err_gen)) < 1e-4
+    assert np.abs(g_fused - g_gen).max() < 1e-3 * max(
+        1.0, np.abs(g_gen).max())
+
+
+def test_fused_step_cost_loss_matches_generic(interpreted_pallas, capsys):
+    """Step-cost workloads now ride the fused chain path (VERDICT r4
+    Missing #1): a loss with ForbidStates + TargetStateInfidelityTime on
+    the fused path matches the generic prefix-scan path in value and
+    gradient, and the path log proves fusion was selected."""
+    from qoc_tpu.core.schroedinger import build_schroedinger_loss
+    from qoc_tpu.models import (GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy, LinearHamiltonian,
+                                MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import (ForbidStates, TargetStateInfidelity,
+                                  TargetStateInfidelityTime)
+
+    rng = np.random.default_rng(41)
+    d, n_c, n_steps = 4, 2, 25
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    ops = 0.5 * (rng.normal(size=(n_c, d, d))
+                 + 1j * rng.normal(size=(n_c, d, d)))
+    ham_lin = LinearHamiltonian(h0, ops)
+    initial = np.zeros((1, d, 1), dtype=complex); initial[0, 0] = 1
+    target = np.zeros((1, d, 1), dtype=complex); target[0, -1] = 1
+    forb = np.zeros((1, 1, d, 1), dtype=complex); forb[0, 0, 1] = 1
+    costs = [TargetStateInfidelity(target),
+             TargetStateInfidelityTime(n_steps, target),
+             ForbidStates(forb, n_steps)]
+
+    def make_pstate():
+        return GrapeSchroedingerDiscreteState(
+            True, n_c, n_steps, 1, costs, 2.0, ham_lin, None,
+            np.zeros((n_steps, n_c), dtype=complex), initial,
+            InterpolationPolicy.LINEAR, 1, 0, [10.0] * n_c,
+            MagnusPolicy.M2, 0, Adam(), None, False, 0, n_steps)
+
+    controls = (0.3 * (rng.normal(size=(n_steps, n_c))
+                       + 1j * rng.normal(size=(n_steps, n_c)))).astype(
+                           np.complex64)
+
+    loss_generic = build_schroedinger_loss(make_pstate())
+    err_gen, _ = loss_generic(jnp.asarray(controls))
+    g_gen = np.asarray(jax.grad(lambda c: loss_generic(c)[0])(
+        jnp.asarray(controls)))
+
+    try:
+        set_expm_forward("pallas")
+        loss_fused_fn = build_schroedinger_loss(make_pstate(),
+                                                time_block_size=16,
+                                                log_path=True)
+        out = capsys.readouterr().out
+        assert "fused Pallas chain kernel" in out, out
+        assert "per-step prefixes" in out, out
+        err_fused = float(loss_fused_fn(jnp.asarray(controls))[0])
+        g_fused = np.asarray(jax.grad(lambda c: loss_fused_fn(c)[0])(
+            jnp.asarray(controls)))
+    finally:
+        set_expm_forward("auto")
+
+    assert abs(err_fused - float(err_gen)) < 1e-4
+    assert np.abs(g_fused - g_gen).max() < 1e-3 * max(
+        1.0, np.abs(g_gen).max())
+
+
+def test_fused_collect_intermediates_matches_generic(interpreted_pallas):
+    """Intermediate-state collection rides the fused chain path and returns
+    the same (system_eval_count, K, d, 1) stack as the generic path."""
+    from qoc_tpu.core.schroedinger import build_schroedinger_loss
+    from qoc_tpu.models import (GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy, LinearHamiltonian,
+                                MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import TargetStateInfidelity
+
+    rng = np.random.default_rng(43)
+    d, n_c, n_steps = 4, 1, 20
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    ops = 0.5 * (rng.normal(size=(n_c, d, d))
+                 + 1j * rng.normal(size=(n_c, d, d)))
+    ham = LinearHamiltonian(h0, ops)
+    initial = np.zeros((2, d, 1), dtype=complex)
+    initial[0, 0] = 1; initial[1, 1] = 1
+    target = np.zeros((2, d, 1), dtype=complex)
+    target[0, -1] = 1; target[1, 0] = 1
+    costs = [TargetStateInfidelity(target)]
+
+    def make_pstate():
+        return GrapeSchroedingerDiscreteState(
+            True, n_c, n_steps, 1, costs, 2.0, ham, None,
+            np.zeros((n_steps, n_c), dtype=complex), initial,
+            InterpolationPolicy.LINEAR, 1, 0, [10.0] * n_c,
+            MagnusPolicy.M2, 0, Adam(), None, False, 0, n_steps)
+
+    controls = (0.3 * (rng.normal(size=(n_steps, n_c))
+                       + 1j * rng.normal(size=(n_steps, n_c)))).astype(
+                           np.complex64)
+
+    gen = build_schroedinger_loss(make_pstate(), collect_intermediates=True,
+                                  remat=False)
+    _, _, inter_gen = gen(jnp.asarray(controls))
+    try:
+        set_expm_forward("pallas")
+        fus = build_schroedinger_loss(make_pstate(),
+                                      collect_intermediates=True,
+                                      remat=False, time_block_size=16)
+        _, _, inter_fus = fus(jnp.asarray(controls))
+    finally:
+        set_expm_forward("auto")
+    assert inter_fus.shape == (n_steps, 2, d, 1)
+    assert np.abs(np.asarray(inter_fus) - np.asarray(inter_gen)).max() < 1e-4
+
+
+def _schro_pstate_factory(rng, d, n_c, n_steps, costs, ham, magnus_policy,
+                          n_states=1):
+    from qoc_tpu.models import (GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy)
+    from qoc_tpu.optim import Adam
+    initial = np.zeros((n_states, d, 1), dtype=complex)
+    for k in range(n_states):
+        initial[k, k] = 1
+    return GrapeSchroedingerDiscreteState(
+        True, n_c, n_steps, 1, costs, 2.0, ham, None,
+        np.zeros((n_steps, n_c), dtype=complex), initial,
+        InterpolationPolicy.LINEAR, 1, 0, [10.0] * n_c, magnus_policy, 0,
+        Adam(), None, False, 0, n_steps)
+
+
+@pytest.mark.parametrize("policy_name", ["M4", "M6"])
+def test_fused_magnus_high_order_matches_generic(interpreted_pallas, capsys,
+                                                 policy_name):
+    """Magnus M4/M6 workloads ride the fused plane-chain path (VERDICT r4
+    Missing #2): value and gradient match the generic Magnus+expm path, and
+    the path log proves the fused kernel was selected."""
+    from qoc_tpu.core.schroedinger import build_schroedinger_loss
+    from qoc_tpu.models import LinearHamiltonian, MagnusPolicy
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import TargetStateInfidelity
+
+    policy = getattr(MagnusPolicy, policy_name)
+    rng = np.random.default_rng(61)
+    d, n_c, n_steps = 4, 2, 25
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    ops = 0.5 * (rng.normal(size=(n_c, d, d))
+                 + 1j * rng.normal(size=(n_c, d, d)))
+    ham = LinearHamiltonian(h0, ops)
+    target = np.zeros((1, d, 1), dtype=complex); target[0, -1] = 1
+    costs = [TargetStateInfidelity(target)]
+    controls = (0.3 * (rng.normal(size=(n_steps, n_c))
+                       + 1j * rng.normal(size=(n_steps, n_c)))).astype(
+                           np.complex64)
+
+    loss_generic = build_schroedinger_loss(
+        _schro_pstate_factory(rng, d, n_c, n_steps, costs, ham, policy))
+    err_gen, _ = loss_generic(jnp.asarray(controls))
+    g_gen = np.asarray(jax.grad(lambda c: loss_generic(c)[0])(
+        jnp.asarray(controls)))
+
+    try:
+        set_expm_forward("pallas")
+        loss_fused = build_schroedinger_loss(
+            _schro_pstate_factory(rng, d, n_c, n_steps, costs, ham, policy),
+            log_path=True)
+        out = capsys.readouterr().out
+        assert "fused Pallas plane-chain kernel" in out, out
+        assert policy_name.lower() in out.lower(), out
+        err_fused = float(loss_fused(jnp.asarray(controls))[0])
+        g_fused = np.asarray(jax.grad(lambda c: loss_fused(c)[0])(
+            jnp.asarray(controls)))
+    finally:
+        set_expm_forward("auto")
+
+    assert abs(err_fused - float(err_gen)) < 1e-4
+    assert np.abs(g_fused - g_gen).max() < 1e-3 * max(
+        1.0, np.abs(g_gen).max())
+
+
+def test_fused_plane_path_arbitrary_hamiltonian(interpreted_pallas, capsys):
+    """A plain callable Hamiltonian (no LinearHamiltonian declaration, even
+    time-dependent) now fuses through the plane-chain path — previously
+    only the generic XLA path served it."""
+    from qoc_tpu.core.schroedinger import build_schroedinger_loss
+    from qoc_tpu.models import MagnusPolicy
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import TargetStateInfidelity
+
+    rng = np.random.default_rng(63)
+    d, n_c, n_steps = 4, 1, 25
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    v = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    v = (v + v.conj().T) / 2
+
+    def ham(c, t):
+        # Time-dependent drift + real-quadrature drive: outside every
+        # structured fast path the weight kernel can express.
+        return (jnp.asarray(h0) * jnp.cos(0.3 * t)
+                + jnp.real(c[0]) * jnp.asarray(v))
+
+    target = np.zeros((1, d, 1), dtype=complex); target[0, -1] = 1
+    costs = [TargetStateInfidelity(target)]
+    controls = (0.3 * (rng.normal(size=(n_steps, n_c))
+                       + 1j * rng.normal(size=(n_steps, n_c)))).astype(
+                           np.complex64)
+
+    loss_generic = build_schroedinger_loss(
+        _schro_pstate_factory(rng, d, n_c, n_steps, costs, ham,
+                              MagnusPolicy.M2))
+    err_gen, _ = loss_generic(jnp.asarray(controls))
+    g_gen = np.asarray(jax.grad(lambda c: loss_generic(c)[0])(
+        jnp.asarray(controls)))
+
+    try:
+        set_expm_forward("pallas")
+        loss_fused = build_schroedinger_loss(
+            _schro_pstate_factory(rng, d, n_c, n_steps, costs, ham,
+                                  MagnusPolicy.M2), log_path=True)
+        out = capsys.readouterr().out
+        assert "fused Pallas plane-chain kernel" in out, out
+        err_fused = float(loss_fused(jnp.asarray(controls))[0])
+        g_fused = np.asarray(jax.grad(lambda c: loss_fused(c)[0])(
+            jnp.asarray(controls)))
+    finally:
+        set_expm_forward("auto")
+
+    assert abs(err_fused - float(err_gen)) < 1e-4
+    assert np.abs(g_fused - g_gen).max() < 1e-3 * max(
+        1.0, np.abs(g_gen).max())
+
+
+def test_fused_lindblad_m4_matches_generic(interpreted_pallas, capsys):
+    """Lindblad MAGNUS_EXPM under M4 rides the superoperator plane-chain
+    path and matches the generic path in value and gradient."""
+    from qoc_tpu.core.lindblad import build_lindblad_loss
+    from qoc_tpu.models import (ConstantLindblad,
+                                GrapeLindbladDiscreteState,
+                                InterpolationPolicy, LindbladMethod,
+                                LinearHamiltonian, MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import TargetDensityInfidelity
+
+    rng = np.random.default_rng(67)
+    d, n_c, n_steps = 3, 1, 21
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    ops = 0.4 * (rng.normal(size=(n_c, d, d))
+                 + 1j * rng.normal(size=(n_c, d, d)))
+    ham = LinearHamiltonian(h0, ops)
+    lind = ConstantLindblad(np.array([0.05]),
+                            0.3 * (rng.normal(size=(1, d, d))
+                                   + 1j * rng.normal(size=(1, d, d))))
+    rho0 = np.zeros((1, d, d), dtype=complex); rho0[0, 0, 0] = 1
+    target = np.zeros((1, d, d), dtype=complex); target[0, -1, -1] = 1
+    costs = [TargetDensityInfidelity(target)]
+
+    def make_pstate():
+        p = GrapeLindbladDiscreteState(
+            True, n_c, n_steps, 1, costs, 2.0, ham, None,
+            np.zeros((n_steps, n_c), dtype=complex), rho0,
+            InterpolationPolicy.LINEAR, 1, lind, 0, [10.0] * n_c, 0,
+            Adam(), None, False, 0, n_steps)
+        p.method_ = LindbladMethod.MAGNUS_EXPM
+        p.magnus_policy_ = MagnusPolicy.M4
+        return p
+
+    controls = (0.2 * (rng.normal(size=(n_steps, n_c))
+                       + 1j * rng.normal(size=(n_steps, n_c)))).astype(
+                           np.complex64)
+
+    loss_generic = build_lindblad_loss(make_pstate())
+    err_gen, _ = loss_generic(jnp.asarray(controls))
+    g_gen = np.asarray(jax.grad(lambda c: loss_generic(c)[0])(
+        jnp.asarray(controls)))
+
+    try:
+        set_expm_forward("pallas")
+        loss_fused = build_lindblad_loss(make_pstate(), log_path=True)
+        out = capsys.readouterr().out
+        assert "superoperator plane-chain kernel" in out, out
+        assert "m4" in out.lower(), out
+        err_fused = float(loss_fused(jnp.asarray(controls))[0])
+        g_fused = np.asarray(jax.grad(lambda c: loss_fused(c)[0])(
+            jnp.asarray(controls)))
+    finally:
+        set_expm_forward("auto")
+
+    assert abs(err_fused - float(err_gen)) < 1e-4
+    assert np.abs(g_fused - g_gen).max() < 1e-3 * max(
+        1.0, np.abs(g_gen).max())
+
+
+def test_fused_lindblad_step_costs_match_generic(interpreted_pallas, capsys):
+    """Lindblad step costs (ForbidDensities + TargetDensityInfidelityTime)
+    ride the fused superoperator chain and match the generic path."""
+    from qoc_tpu.core.lindblad import build_lindblad_loss
+    from qoc_tpu.models import (ConstantLindblad,
+                                GrapeLindbladDiscreteState,
+                                InterpolationPolicy, LindbladMethod,
+                                LinearHamiltonian, MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import (ForbidDensities, TargetDensityInfidelity,
+                                  TargetDensityInfidelityTime)
+
+    rng = np.random.default_rng(47)
+    d, n_c, n_steps = 3, 1, 21
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    ops = 0.4 * (rng.normal(size=(n_c, d, d))
+                 + 1j * rng.normal(size=(n_c, d, d)))
+    gammas = np.array([0.05])
+    lops = 0.3 * (rng.normal(size=(1, d, d))
+                  + 1j * rng.normal(size=(1, d, d)))
+    ham = LinearHamiltonian(h0, ops)
+    lind = ConstantLindblad(gammas, lops)
+    rho0 = np.zeros((1, d, d), dtype=complex); rho0[0, 0, 0] = 1
+    target = np.zeros((1, d, d), dtype=complex); target[0, -1, -1] = 1
+    forb = np.zeros((1, 1, d, d), dtype=complex); forb[0, 0, 1, 1] = 1
+    costs = [TargetDensityInfidelity(target),
+             TargetDensityInfidelityTime(n_steps, target),
+             ForbidDensities(forb, n_steps)]
+
+    def make_pstate():
+        p = GrapeLindbladDiscreteState(
+            True, n_c, n_steps, 1, costs, 2.0, ham, None,
+            np.zeros((n_steps, n_c), dtype=complex), rho0,
+            InterpolationPolicy.LINEAR, 1, lind, 0, [10.0] * n_c, 0,
+            Adam(), None, False, 0, n_steps)
+        p.method_ = LindbladMethod.MAGNUS_EXPM
+        p.magnus_policy_ = MagnusPolicy.M2
+        return p
+
+    controls = (0.2 * (rng.normal(size=(n_steps, n_c))
+                       + 1j * rng.normal(size=(n_steps, n_c)))).astype(
+                           np.complex64)
+
+    loss_generic = build_lindblad_loss(make_pstate())
+    err_gen, _ = loss_generic(jnp.asarray(controls))
+    g_gen = np.asarray(jax.grad(lambda c: loss_generic(c)[0])(
+        jnp.asarray(controls)))
+
+    try:
+        set_expm_forward("pallas")
+        loss_fused = build_lindblad_loss(make_pstate(), log_path=True)
+        out = capsys.readouterr().out
+        assert "fused Pallas superoperator chain" in out, out
+        assert "per-step prefixes" in out, out
+        err_fused = float(loss_fused(jnp.asarray(controls))[0])
+        g_fused = np.asarray(jax.grad(lambda c: loss_fused(c)[0])(
+            jnp.asarray(controls)))
+    finally:
+        set_expm_forward("auto")
+
     assert abs(err_fused - float(err_gen)) < 1e-4
     assert np.abs(g_fused - g_gen).max() < 1e-3 * max(
         1.0, np.abs(g_gen).max())

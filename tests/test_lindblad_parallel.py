@@ -135,6 +135,46 @@ def test_lindblad_ensemble_fused_matches_generic(interpreted_pallas):
     assert np.abs(fused.best_controls - generic.best_controls).max() < 1e-4
 
 
+def test_lindblad_ensemble_fused_step_costs_match_generic(
+        interpreted_pallas):
+    """Step costs (ForbidDensities) no longer disqualify the fused
+    member-batched superoperator chain (round 5): fused == generic."""
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import ForbidDensities
+    ens_ham, members, initial, costs, lindblad_data = _problem()
+    forb = np.zeros((1, 1, 2, 2), dtype=complex)
+    forb[0, 0, 0, 1] = forb[0, 0, 1, 0] = 0.5
+    costs = costs + [ForbidDensities(forb, 21)]
+    kwargs = dict(complex_controls=True, iteration_count=4,
+                  lindblad_data=lindblad_data, log_iteration_step=0,
+                  method=LindbladMethod.MAGNUS_EXPM, check_vma=False,
+                  optimizer=Adam(learning_rate=0.05), mesh=make_mesh(4))
+    generic = grape_lindblad_ensemble(
+        1, 7, costs, 5.0, ens_ham, members, initial, 21, **kwargs)
+    try:
+        set_expm_forward("pallas")
+        # Prove the fused path is actually taken with step costs present.
+        from qoc_tpu.core.common import initialize_controls
+        from qoc_tpu.models import (GrapeLindbladDiscreteState,
+                                    InterpolationPolicy, MagnusPolicy)
+        ic, mn = initialize_controls(True, 1, 7, 5.0, None, None)
+        pstate = GrapeLindbladDiscreteState(
+            True, 1, 7, 1, costs, 5.0, None, None, ic, initial,
+            InterpolationPolicy.LINEAR, 1, lindblad_data, 0, mn, 0,
+            Adam(), None, False, 0, 21)
+        pstate.method_ = LindbladMethod.MAGNUS_EXPM
+        pstate.magnus_policy_ = MagnusPolicy.M2
+        probe = build_lindblad_ensemble_loss(pstate, ens_ham, members,
+                                             make_mesh(4), check_vma=False)
+        assert probe.uses_fused_chain
+        fused = grape_lindblad_ensemble(
+            1, 7, costs, 5.0, ens_ham, members, initial, 21, **kwargs)
+    finally:
+        set_expm_forward("auto")
+    assert abs(fused.best_error - generic.best_error) < 1e-5
+    assert np.abs(fused.best_controls - generic.best_controls).max() < 1e-4
+
+
 def test_lindblad_ensemble_fused_loss_flag(interpreted_pallas):
     """The fused builder actually takes the superoperator chain path for an
     EnsembleLinearHamiltonian + ConstantLindblad under MAGNUS_EXPM."""

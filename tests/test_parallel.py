@@ -178,6 +178,71 @@ def test_fused_ensemble_matches_generic_path(monkeypatch):
         set_expm_forward("auto")
     assert np.isclose(err_fused, err_single, rtol=1e-6)
 
+
+def test_fused_ensemble_step_costs_match_generic(monkeypatch):
+    """Step costs no longer disqualify the fused member-batched ensemble
+    path (round 5): ForbidStates in the cost stack, fused == generic in
+    value and gradient on a 4-shard mesh."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig(*a, **{**{"interpret": True}, **kw}))
+
+    from qoc_tpu.models import (EnsembleLinearHamiltonian,
+                                GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy, MagnusPolicy)
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.parallel import build_ensemble_loss
+    from qoc_tpu.parallel.sharding import make_mesh
+    from qoc_tpu.standard import ForbidStates
+
+    rng = np.random.default_rng(35)
+    d, n_c, n_steps, n_members = 4, 1, 25, 4
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    ops = 0.4 * (rng.normal(size=(n_c, d, d))
+                 + 1j * rng.normal(size=(n_c, d, d)))
+    ens_ham = EnsembleLinearHamiltonian(h0, ops, [h0])
+    params = rng.normal(scale=0.05, size=(n_members, 1))
+    initial = np.zeros((1, d, 1), dtype=complex); initial[0, 0] = 1
+    target = np.zeros((1, d, 1), dtype=complex); target[0, -1] = 1
+    forb = np.zeros((1, 1, d, 1), dtype=complex); forb[0, 0, 1] = 1
+    costs = [TargetStateInfidelity(target), ForbidStates(forb, n_steps)]
+
+    def make_pstate():
+        return GrapeSchroedingerDiscreteState(
+            True, n_c, n_steps, 1, costs, 2.0, None, None,
+            np.zeros((n_steps, n_c), dtype=complex), initial,
+            InterpolationPolicy.LINEAR, 1, 0, [10.0] * n_c,
+            MagnusPolicy.M2, 0, Adam(), None, False, 0, n_steps)
+
+    controls = (0.3 * (rng.normal(size=(n_steps, n_c))
+                       + 1j * rng.normal(size=(n_steps, n_c)))).astype(
+                           np.complex64)
+    mesh = make_mesh(4)
+
+    try:
+        set_expm_forward("pallas")
+        loss_fused = build_ensemble_loss(make_pstate(), ens_ham, params,
+                                         mesh, check_vma=False)
+        assert loss_fused.uses_fused_chain
+        err_fused = float(loss_fused(jnp.asarray(controls))[0])
+        g_fused = np.asarray(jax.grad(
+            lambda c: loss_fused(c)[0])(jnp.asarray(controls)))
+    finally:
+        set_expm_forward("auto")
+
+    loss_generic = build_ensemble_loss(make_pstate(), ens_ham, params, mesh)
+    assert not loss_generic.uses_fused_chain
+    err_gen, _ = loss_generic(jnp.asarray(controls))
+    g_gen = np.asarray(jax.grad(
+        lambda c: loss_generic(c)[0])(jnp.asarray(controls)))
+    assert abs(err_fused - float(err_gen)) < 1e-4
+    assert np.abs(g_fused - g_gen).max() < 1e-3 * max(1.0,
+                                                      np.abs(g_gen).max())
+
+
 def test_state_axis_sharding_matches_single_device():
     """mesh= on the plain driver shards the K state axis (gate synthesis:
     K = d unitary columns) with results identical to the unsharded run."""
