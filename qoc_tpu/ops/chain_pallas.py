@@ -118,6 +118,16 @@ def _dotT(x, y):
     return d(x, y, precision=lax.Precision.HIGHEST)
 
 
+def _grouped_mode(dp, n_chains):
+    """Batched chains are packed ``_SEGMENTS`` members per grid step (each
+    kernel 'segment' slot holds a FULL independent member chain) whenever
+    there are at least that many chains: identical MXU interleaving to the
+    single-chain segment split, but with no per-member segment-merge
+    matmuls, no adjoint seed chains, and no 2x``_SEGMENTS`` step floor —
+    the regime of the many-candidate multistart / many-member ensembles."""
+    return dp <= 256 and n_chains >= _SEGMENTS
+
+
 def chain_block_plan(d, n_steps, n_chains=1):
     """(time_block_size, remat) plan for callers of the fused chain kernel.
 
@@ -142,7 +152,10 @@ def chain_block_plan(d, n_steps, n_chains=1):
     dp = -(-d // _ALIGN) * _ALIGN
     step_bytes = 8 * dp * max(dp, 128) * max(n_chains, 1)
     cap = (512 * 1024 * 1024) // step_bytes
-    floor = 2 * _SEGMENTS if dp <= 256 else 1
+    if dp > 256 or _grouped_mode(dp, n_chains):
+        floor = 1
+    else:
+        floor = 2 * _SEGMENTS
     block = min(n_steps, max(floor, min(-(-n_steps // 6), cap)))
     remat = step_bytes * n_steps > 8 * 1024 ** 3
     if cap < floor:
@@ -170,6 +183,8 @@ def chain_fused_ok(d, n_steps, n_chains=1):
     step_bytes = 8 * dp * max(dp, 128) * max(n_chains, 1)
     cap = (512 * 1024 * 1024) // step_bytes
     if dp <= 256:
+        if _grouped_mode(dp, n_chains):
+            return n_steps >= 1 and cap >= 1
         return n_steps >= 2 * _SEGMENTS and cap >= 2 * _SEGMENTS
     return dp <= _STREAM_MAX and n_steps >= 1 and cap >= 1
 
@@ -1054,11 +1069,13 @@ def _chain_fwd(w, basis, return_prefixes=False):
             "check chain_fused_ok before calling, or use the XLA "
             "expm/tree-reduce path.".format(_STREAM_MAX, d, dp))
     if dp > 256:
-        # Streamed-generator regime: residuals tagged by their length (7 vs
-        # 10) for the backward dispatch.
+        # Streamed-generator regime: residuals tagged by their length
+        # (7 / 9 / 10) for the backward dispatch.
         return _chain_fwd_stream(w, basis, d, dp, return_prefixes)
-    emb, embt, d, dp = _basis_stacks(basis)
     batched = w.ndim == 3
+    if batched and _grouped_mode(dp, w.shape[0]):
+        return _chain_fwd_grouped(w, basis, return_prefixes)
+    emb, embt, d, dp = _basis_stacks(basis)
     w3 = w if batched else w[None]
     w_ord, length, bp = _reorder(w3.astype(jnp.float32), _SEGMENTS)
     emb = _match_vma(emb, w_ord)
@@ -1086,6 +1103,101 @@ def _chain_fwd(w, basis, return_prefixes=False):
             prefixes = prefixes[0]
         return (total, prefixes), res
     return total, res
+
+
+def _chain_fwd_grouped(w, basis, return_prefixes=False):
+    """Member-grouped resident regime (see _grouped_mode): ``_SEGMENTS``
+    FULL member chains per grid step. The kernel is exactly the
+    basis-resident one; only the packing differs — kernel 'member' axis g
+    indexes groups of 8 real members, kernel 'segment' slot s holds member
+    g*8+s's whole chain. Every per-segment output is therefore already a
+    per-member quantity: totals/prefixes need no composition, and adjoint
+    seeds are direct conjugates (no segment chain rule)."""
+    emb, embt, d, dp = _basis_stacks(basis)
+    g = _SEGMENTS
+    m, b, n_b = w.shape
+    mp = -(-m // g) * g
+    w3 = w.astype(jnp.float32)
+    if mp != m:
+        # Padded members have zero weights -> U = I chains, sliced off.
+        w3 = jnp.pad(w3, ((0, mp - m), (0, 0), (0, 0)))
+    # (Mg, B, G, n_b): grid step (mg, t) presents step t of all G members
+    # of group mg.
+    w_ord = jnp.swapaxes(w3.reshape(mp // g, g, b, n_b), 1, 2)
+    emb = _match_vma(emb, w_ord)
+    norm_max, norm_inf_max = _exact_norm_max(w, basis)
+    pref_r, pref_i = _degree_switch(
+        norm_max,
+        lambda deg: (lambda wo, e: _fwd_pallas(wo, e, b, dp, deg)),
+        w_ord, emb)
+    total = (pref_r[:, -1, :, :d, :d]
+             + 1j * pref_i[:, -1, :, :d, :d]).reshape(mp, d, d)[:m]
+    res = (w_ord, pref_r, pref_i, norm_inf_max, m, b, d, dp,
+           jnp.zeros((0,)))
+    if return_prefixes:
+        prefixes = jnp.swapaxes(
+            pref_r[..., :d, :d] + 1j * pref_i[..., :d, :d],
+            1, 2).reshape(mp, b, d, d)[:m]
+        return (total, prefixes), res
+    return total, res
+
+
+def _chain_bwd_grouped(basis, res, gbar, pbar=None):
+    w_ord, pref_r, pref_i, norm_inf_max, m, b, d, dp, _ = res
+    emb, embt, _, _ = _basis_stacks(basis)
+    embt = _match_vma(embt, w_ord)
+    g = _SEGMENTS
+    mg = w_ord.shape[0]
+    mp = mg * g
+    n_members = mg
+
+    gbar = gbar.astype(jnp.complex64)
+    if mp != m:
+        gbar = jnp.pad(gbar, ((0, mp - m), (0, 0), (0, 0)))
+        if pbar is not None:
+            pbar = jnp.pad(pbar.astype(jnp.complex64),
+                           ((0, mp - m), (0, 0), (0, 0), (0, 0)))
+    gbar_g = gbar.reshape(mg, g, d, d)
+    per_step = pbar is not None
+    if per_step:
+        # Each slot is a full chain: per-step seeds are direct conjugates,
+        # with the total's cotangent folded into the last step (the member
+        # total IS its last prefix).
+        pbar_g = jnp.swapaxes(
+            pbar.astype(jnp.complex64).reshape(mg, g, b, d, d), 1, 2)
+        seeds = jnp.conjugate(pbar_g.at[:, -1].add(gbar_g))
+        pad = ((0, 0), (0, 0), (0, 0), (0, dp - d), (0, dp - d))
+    else:
+        seeds = jnp.conjugate(gbar_g)               # (Mg, G, d, d)
+        pad = ((0, 0), (0, 0), (0, dp - d), (0, dp - d))
+    seed_r = jnp.real(seeds).astype(jnp.float32)
+    seed_i = jnp.imag(seeds).astype(jnp.float32)
+    if dp != d:
+        seed_r = jnp.pad(seed_r, pad)
+        seed_i = jnp.pad(seed_i, pad)
+
+    eye_row = _match_vma(jnp.broadcast_to(
+        jnp.eye(dp, dtype=jnp.float32), (n_members, 1, g, dp, dp)), pref_r)
+    prefpad_r = jnp.concatenate((eye_row, pref_r[:, :-1]), axis=1)
+    prefpad_i = jnp.concatenate((jnp.zeros_like(eye_row), pref_i[:, :-1]),
+                                axis=1)
+
+    cabar_r, cabar_i = _degree_switch(
+        norm_inf_max,
+        lambda deg: (lambda *a: _bwd_pallas(*a, b, dp, deg,
+                                            per_step_seeds=per_step)),
+        w_ord, embt, prefpad_r, prefpad_i, seed_r, seed_i)
+
+    basis_c = jnp.asarray(basis)
+    gk_r = jnp.real(basis_c).astype(jnp.float32)
+    gk_i = jnp.imag(basis_c).astype(jnp.float32)
+    if dp != d:
+        cabar_r = cabar_r[..., :d, :d]
+        cabar_i = cabar_i[..., :d, :d]
+    wbar_ord = (jnp.einsum("glsab,kab->glsk", cabar_r, gk_r)
+                + jnp.einsum("glsab,kab->glsk", cabar_i, gk_i))
+    wbar = jnp.swapaxes(wbar_ord, 1, 2).reshape(mp, b, -1)[:m]
+    return (wbar,)
 
 
 def _segment_seeds(prods, pref_r, pref_i, gbar, pbar, b_orig, length,
@@ -1163,6 +1275,8 @@ def _segment_seeds(prods, pref_r, pref_i, gbar, pbar, b_orig, length,
 def _chain_bwd_vjp(basis, res, gbar, pbar=None):
     if len(res) == 7:
         return _chain_bwd_stream(basis, res, gbar, pbar)
+    if len(res) == 9:
+        return _chain_bwd_grouped(basis, res, gbar, pbar)
     (w_ord, pref_r, pref_i, prods, norm_inf_max, b_orig, batched, length, d,
      dp) = res
     emb, embt, _, _ = _basis_stacks(basis)

@@ -559,7 +559,7 @@ def grape_lindblad_multistart(control_count, control_eval_count, costs,
             print("qoc_tpu: Lindblad multistart propagation path = generic "
                   "per-candidate integration under vmap (declare a "
                   "LinearHamiltonian + ConstantLindblad with "
-                  "method=LindbladMethod.MAGNUS_EXPM, Magnus M2 and no step "
+                  "method=LindbladMethod.MAGNUS_EXPM, Magnus M2 "
                   "costs for the fused path).")
 
     states_fn = None

@@ -14,8 +14,8 @@ The chunked execution loop, checkpoint/resume, and H5 winner-row machinery
 live in parallel/_msrunner.py (shared with the Lindblad multistart).
 
 Fast path: for a declared :class:`LinearHamiltonian` /
-:class:`EnsembleLinearHamiltonian` under Magnus-M2 with no step costs, every
-(candidate × member) trajectory is a chain of exp-of-linear-combination
+:class:`EnsembleLinearHamiltonian` under Magnus-M2, every (candidate ×
+member) trajectory is a chain of exp-of-linear-combination
 steps, so the whole shard propagates through ONE batched fused Pallas chain
 kernel per time block (ops/chain_pallas.py — the flattened candidate×member
 axis is the kernel's major grid dimension). The per-candidate gradient falls
@@ -183,8 +183,8 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
         else:
             print("qoc_tpu: multistart propagation path = generic batched "
                   "Magnus+expm under vmap (declare a LinearHamiltonian / "
-                  "EnsembleLinearHamiltonian with Magnus M2 and no step "
-                  "costs for the ~10x fused path).")
+                  "EnsembleLinearHamiltonian with Magnus M2 for the ~10x "
+                  "fused path).")
 
     states_fn = None
     if pstate.should_save:
@@ -255,9 +255,10 @@ def _make_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble, cc,
     """Build shard_loss_sum: clipped flat candidate params (C_s, nflat) ->
     (Σ_c local-member error sum, per-candidate local errors (C_s,)).
 
-    Fused regime (Linear/EnsembleLinearHamiltonian, Magnus M2, no step
-    costs, Pallas available): all candidate×member trajectories propagate
-    through one batched chain kernel per time block. Otherwise the generic
+    Fused regime (Linear/EnsembleLinearHamiltonian, Magnus M2, Pallas
+    available): all candidate×member trajectories propagate through one
+    batched chain kernel per time block — step costs included via the
+    kernel's per-step prefixes (round 5). Otherwise the generic
     per-candidate loss runs under vmap.
     """
     fused = _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params,
@@ -333,7 +334,7 @@ def _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble,
         params = None
         p_count = 0
         m_per_shard = 1
-    if pstate.magnus_policy != MagnusPolicy.M2 or pstate.step_costs:
+    if pstate.magnus_policy != MagnusPolicy.M2:
         return None
     if pstate.control_eval_times is None:
         return None
@@ -359,9 +360,13 @@ def _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble,
     pad = n_blocks * block - n_steps
     cet = np.asarray(pstate.control_eval_times, dtype=rdt)
     costs = pstate.costs
+    step_costs = pstate.step_costs
+    cost_eval_step = pstate.cost_eval_step
+    need_trajectory = bool(step_costs)
     final_step = pstate.final_system_eval_step
     basis = hamiltonian.generator_basis(dt).astype(np_complex_dtype())
-    fused_chain = make_chain_expm_propagate(basis)
+    fused_chain = make_chain_expm_propagate(
+        basis, return_prefixes=need_trajectory)
     if params is not None:
         params = params.astype(np.dtype(rdt).name)
 
@@ -407,13 +412,41 @@ def _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble,
                 w = jnp.concatenate((ones, ri), axis=-1)
             return (w * valid[None, :, None].astype(rdt)).astype(jnp.float32)
 
-        def block_body(states, xs):
+        def step_cost_values(ctl_row, states_k, k):
+            step_error = jnp.asarray(0.0, dtype=rdt)
+            for cost in step_costs:
+                step_error = step_error + cost.cost(ctl_row, states_k, k)
+            is_cost_step = (k % cost_eval_step) == 0
+            return jnp.where(is_cost_step, step_error, 0.0)
+
+        def block_body(carry, xs):
+            states, errs = carry
             ks_block, valid = xs
             times = (ks_block - 1).astype(rdt) * dt
-            prods = fused_chain(weights(times, valid))  # (n_chains, d, d)
+            if need_trajectory:
+                # Per-chain kernel prefixes -> per-step states; prefix
+                # cotangents seed the backward kernel per step
+                # (ops/chain_pallas.py return_prefixes, batched form).
+                prods, prefixes = fused_chain(weights(times, valid))
+                states_all = jnp.einsum("mtij,mkjl->mtkil", prefixes,
+                                        states, precision=MATMUL_PRECISION)
+                # Chain index is candidate-major: candidate c owns chains
+                # [c*m_per_shard, (c+1)*m_per_shard).
+                ctl_chain = jnp.repeat(controls, m_per_shard, axis=0)
+
+                def chain_block_cost(states_all_m, ctl_row):
+                    per_step = jax.vmap(
+                        lambda s, k: step_cost_values(ctl_row, s, k)
+                    )(states_all_m, ks_block)
+                    return jnp.sum(jnp.where(valid, per_step, 0.0))
+
+                errs = errs + jax.vmap(chain_block_cost)(states_all,
+                                                         ctl_chain)
+            else:
+                prods = fused_chain(weights(times, valid))  # (n_chains,...)
             states = jnp.einsum("mij,mkjl->mkil", prods, states,
                                 precision=MATMUL_PRECISION)
-            return states, None
+            return (states, errs), None
 
         body_fn = jax.checkpoint(block_body) if remat else block_body
         ks = jnp.arange(1, pstate.system_eval_count)
@@ -425,9 +458,11 @@ def _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble,
         states0 = jnp.broadcast_to(
             jnp.asarray(initial_states)[None],
             (n_chains,) + initial_states.shape)
+        errs0 = jnp.zeros((n_chains,), dtype=rdt)
         if check_vma:
             states0 = lax.pcast(states0, vary_axes, to="varying")
-        states, _ = lax.scan(body_fn, states0, xs)
+            errs0 = lax.pcast(errs0, vary_axes, to="varying")
+        (states, step_errs), _ = lax.scan(body_fn, (states0, errs0), xs)
 
         def chain_cost(states_m, ctl_row):
             err = jnp.asarray(0.0, dtype=rdt)
@@ -440,6 +475,8 @@ def _make_fused_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble,
                                 + initial_states.shape)
         errs = jax.vmap(lambda sm, ctl: jnp.sum(
             jax.vmap(lambda s: chain_cost(s, ctl))(sm)))(states, controls)
+        errs = errs + jnp.sum(
+            step_errs.reshape(c_per_shard, m_per_shard), axis=1)
         return jnp.sum(errs), errs
 
     shard_loss_sum.uses_fused_chain = True

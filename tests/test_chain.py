@@ -179,6 +179,74 @@ def test_chain_large_norm_squaring_branch(interpreted_pallas):
     assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3
 
 
+def test_chain_grouped_members_match_reference(interpreted_pallas):
+    """Member-grouped resident regime (round 5, the many-chain multistart
+    packing): batched w with >= 8 members — including short chains BELOW
+    the old 16-step segment floor and a non-multiple-of-8 member count —
+    matches the reference per member in totals, prefixes, and per-step
+    seeded gradients."""
+    from qoc_tpu.ops.chain_pallas import (chain_expm_propagate_reference,
+                                          chain_fused_ok,
+                                          make_chain_expm_propagate)
+    rng = np.random.default_rng(71)
+    d, n_b = 8, 4
+    basis = _random_basis(rng, n_b, d, 0.02)
+    tgt = (rng.normal(size=(d, d))
+           + 1j * rng.normal(size=(d, d))).astype(np.complex64)
+    assert chain_fused_ok(d, 3, n_chains=8)     # no step floor when grouped
+    assert not chain_fused_ok(d, 3, n_chains=1)
+    for m, b in ((8, 3), (10, 20)):  # exact group + padded members
+        w = rng.normal(size=(m, b, n_b)).astype(np.float32)
+        prop = make_chain_expm_propagate(basis)
+        got = np.asarray(prop(jnp.asarray(w)))
+        assert got.shape == (m, d, d)
+        for k in range(m):
+            want = np.asarray(chain_expm_propagate_reference(
+                jnp.asarray(w[k]), basis))
+            assert np.abs(got[k] - want).max() / np.abs(want).max() < 1e-4
+
+        def loss_fused(ww):
+            return jnp.sum(jnp.abs(prop(ww) - tgt) ** 2)
+
+        def loss_ref(ww):
+            return jnp.sum(jax.vmap(lambda row: jnp.sum(jnp.abs(
+                chain_expm_propagate_reference(row, basis) - tgt) ** 2))(ww))
+
+        g_f = np.asarray(jax.grad(loss_fused)(jnp.asarray(w)))
+        g_r = np.asarray(jax.grad(loss_ref)(jnp.asarray(w)))
+        assert np.abs(g_f - g_r).max() / np.abs(g_r).max() < 1e-3, (m, b)
+
+        # Prefix variant with per-step cotangents.
+        prop_p = make_chain_expm_propagate(basis, return_prefixes=True)
+        total_p, prefs = prop_p(jnp.asarray(w))
+        assert prefs.shape == (m, b, d, d)
+        coeff = rng.normal(size=(b,)).astype(np.float32)
+
+        def loss_fused_p(ww):
+            tot, prefs_ = prop_p(ww)
+            return (jnp.sum(jnp.asarray(coeff)[None, :] * jnp.sum(
+                jnp.abs(prefs_ - tgt) ** 2, axis=(2, 3)))
+                + jnp.sum(jnp.abs(tot - tgt) ** 2))
+
+        def loss_ref_p(ww):
+            def one(row):
+                tot, prefs_ = chain_expm_propagate_reference(
+                    row, basis, return_prefixes=True)
+                return (jnp.sum(jnp.asarray(coeff) * jnp.sum(
+                    jnp.abs(prefs_ - tgt) ** 2, axis=(1, 2)))
+                    + jnp.sum(jnp.abs(tot - tgt) ** 2))
+            return jnp.sum(jax.vmap(one)(ww))
+
+        for k in range(m):
+            _, want_p = chain_expm_propagate_reference(
+                jnp.asarray(w[k]), basis, return_prefixes=True)
+            assert np.abs(np.asarray(prefs[k])
+                          - np.asarray(want_p)).max() < 1e-4
+        g_fp = np.asarray(jax.grad(loss_fused_p)(jnp.asarray(w)))
+        g_rp = np.asarray(jax.grad(loss_ref_p)(jnp.asarray(w)))
+        assert np.abs(g_fp - g_rp).max() / np.abs(g_rp).max() < 1e-3, (m, b)
+
+
 def _plane_reference(a):
     """XLA oracle for the plane chain: expm each plane, scan the product."""
     from qoc_tpu.ops.expm import expm
@@ -809,12 +877,23 @@ def test_chain_block_plan():
     assert block == -(-10_000 // 6)
     assert not remat
 
-    # 512-chain multistart-class problem: the 512 MB/block cap binds at the
-    # 2*SEGMENTS floor; padded residuals 64 KB * 512 * 200 = 6.4 GB < 8 GB
-    # -> residuals stored (measured faster than remat).
+    # 512-chain multistart-class problem (grouped-member packing, no
+    # segment floor): the 512 MB/block cap binds at 15 steps; padded
+    # residuals 64 KB * 512 * 200 = 6.4 GB < 8 GB -> residuals stored
+    # (measured faster than remat).
     block, remat = chain_block_plan(64, 200, n_chains=512)
-    assert block == 16
+    assert block == 15
     assert not remat
+
+    # 1024/2048-chain workloads (the BASELINE "thousands of candidates"
+    # axis): eligible through the grouped packing — the per-block cap
+    # shrinks the block instead of disqualifying the kernel.
+    from qoc_tpu.ops.chain_pallas import chain_fused_ok
+    for n_chains in (1024, 2048):
+        assert chain_fused_ok(64, 200, n_chains)
+        block_n, remat_n = chain_block_plan(64, 200, n_chains=n_chains)
+        assert 1 <= block_n <= 15
+        assert remat_n                     # 13-27 GB of residuals -> remat
 
     # Same chains, 2x the steps: padded residuals 12.8 GB -> remat.
     block, remat = chain_block_plan(64, 400, n_chains=512)

@@ -81,6 +81,47 @@ def test_multistart_fused_matches_generic(interpreted_pallas):
                   - generic.best_controls).max() < 1e-3
 
 
+def test_multistart_fused_step_costs_match_generic(interpreted_pallas):
+    """Step costs (ForbidStates) no longer disqualify the fused multistart
+    path (round 5): fused == generic across all candidates, and the fused
+    shard loss is actually selected."""
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import ForbidStates
+    hamiltonian, initial_states, costs = _problem()
+    forb = np.zeros((1, 1, 2, 1), dtype=complex)
+    forb[0, 0, 0] = 1
+    costs = costs + [ForbidStates(forb, 21, cost_multiplier=0.1)]
+    kwargs = dict(n_starts=8, complex_controls=True, iteration_count=6,
+                  log_iteration_step=0, optimizer=Adam(learning_rate=0.02),
+                  system_eval_count=21, fused_chunk=3, check_vma=False,
+                  mesh=make_mesh(8, axis_name="candidate"))
+    generic = grape_schroedinger_multistart(
+        1, 21, costs, 10, hamiltonian, initial_states, **kwargs)
+    try:
+        set_expm_forward("pallas")
+        # Prove the fused shard loss is selected with step costs present.
+        from qoc_tpu.core.common import initialize_controls
+        from qoc_tpu.models import (GrapeSchroedingerDiscreteState,
+                                    InterpolationPolicy, MagnusPolicy)
+        from qoc_tpu.parallel.multistart import _make_fused_shard_loss
+        ic, mn = initialize_controls(True, 1, 21, 10.0, None, None)
+        pstate = GrapeSchroedingerDiscreteState(
+            True, 1, 21, 1, costs, 10.0, hamiltonian, None, ic,
+            initial_states, InterpolationPolicy.LINEAR, 1, 0, mn,
+            MagnusPolicy.M2, 0, Adam(), None, False, 0, 21)
+        probe = _make_fused_shard_loss(pstate, hamiltonian, None, False,
+                                       True, pstate.controls_shape, 1, 1,
+                                       ("candidate",), False)
+        assert probe is not None
+        fused = grape_schroedinger_multistart(
+            1, 21, costs, 10, hamiltonian, initial_states, **kwargs)
+    finally:
+        set_expm_forward("auto")
+    assert np.allclose(fused.errors, generic.errors, atol=1e-4)
+    assert np.abs(fused.best_controls
+                  - generic.best_controls).max() < 1e-3
+
+
 def test_multistart_ensemble_2d_mesh_matches_1d():
     h0 = np.asarray(SIGMA_Z) / 2
     a = get_annihilation_operator(2)
