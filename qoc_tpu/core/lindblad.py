@@ -79,7 +79,7 @@ def _make_rhs(pstate, controls, cet, hamiltonian_override=None):
 def build_lindblad_loss(pstate, collect_intermediates=False,
                         differentiable=True, remat="auto", log_path=False,
                         hamiltonian_override=None, pvary_axes=None,
-                        density_mesh=None):
+                        density_mesh=None, allow_plane_chain=True):
     """Build the loss: controls -> (error, final_densities[, intermediates]).
 
     Mirrors _evaluate_lindblad_discrete (reference lindbladdiscrete.py:
@@ -203,10 +203,14 @@ def build_lindblad_loss(pstate, collect_intermediates=False,
         # callable, Magnus policy, and time-dependent lindblad_data — the
         # per-step superoperator planes are built at the XLA level
         # (differentiated by ordinary AD) and streamed into the kernel.
+        # ``allow_plane_chain=False`` is set by callers that will vmap this
+        # loss (the generic ensemble/multistart member loops): the axon TPU
+        # backend rejects vmapped pallas_call with a raw UNIMPLEMENTED
+        # (measured round 5; interpret mode accepts it).
         plane_chain = None
         pallas_on = (_EXPM_FORWARD["impl"] == "pallas"
                      or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok()))
-        if fused_chain is None and pallas_on:
+        if fused_chain is None and pallas_on and allow_plane_chain:
             from qoc_tpu.ops.chain_pallas import (
                 plane_chain_ok, plane_chain_propagate,
                 plane_chain_propagate_prefixes)

@@ -62,7 +62,8 @@ def _check_interpolation(interpolation_policy):
 def build_schroedinger_loss(pstate, collect_intermediates=False,
                             remat="auto", hamiltonian_override=None,
                             pvary_axes=None, time_block_size=None,
-                            state_mesh=None, log_path=False):
+                            state_mesh=None, log_path=False,
+                            allow_plane_chain=True):
     """Build the jitted-to-be loss: controls (complex (E, C) or None) ->
     (error, final_states[, intermediate_states]).
 
@@ -153,10 +154,15 @@ def build_schroedinger_loss(pstate, collect_intermediates=False,
     # policy (the M4/M6 commutator terms and arbitrary callables build the
     # per-step generator planes at the XLA level, differentiated by
     # ordinary AD into the op's exact plane-cotangent VJP).
+    # ``allow_plane_chain=False`` is set by callers that will run this loss
+    # under ``jax.vmap`` (the generic ensemble/multistart member loops):
+    # vmap of pallas_call works in interpret mode but the axon TPU backend
+    # rejects the batched kernel with a raw UNIMPLEMENTED (measured round
+    # 5) — those paths keep the batched-XLA expm.
     pallas_on = (_EXPM_FORWARD["impl"] == "pallas"
                  or (_EXPM_FORWARD["impl"] == "auto" and _pallas_ok()))
     plane_eligible = False
-    if not fused_eligible and pallas_on:
+    if not fused_eligible and pallas_on and allow_plane_chain:
         from qoc_tpu.ops.chain_pallas import plane_chain_ok
         plane_eligible = plane_chain_ok(d, n_steps)
     if (fused_eligible or plane_eligible) and remat == "auto":

@@ -171,12 +171,13 @@ def chain_block_plan(d, n_steps, n_chains=1):
 def chain_fused_ok(d, n_steps, n_chains=1):
     """Whether a fused chain kernel supports this problem size.
 
-    Padded d <= 256: the basis-resident segment-interleaved kernel — needs
-    the (n_b, 2dp, 2dp) basis stack and S accumulators in VMEM and at
-    least a (2 segments x chains) block whose plane temps fit the
-    per-block HBM budget (see chain_block_plan). 256 < padded d <=
-    ``_STREAM_MAX``: the streamed-generator kernel — one chain per grid
-    step, generator planes built at the XLA level, no segment floor."""
+    Padded d <= 256: the basis-resident kernel — segment-interleaved for
+    few chains (needs a >= 2x``_SEGMENTS``-step block whose plane temps
+    fit the per-block HBM budget, see chain_block_plan), member-grouped
+    for >= ``_SEGMENTS`` chains (full chains packed per grid step — no
+    step floor; the block cap shrinks the block instead). 256 < padded
+    d <= ``_STREAM_MAX``: the streamed-generator kernel — one chain per
+    grid step, generator planes built at the XLA level, no floor."""
     if not _HAVE_PALLAS:  # pragma: no cover
         return False
     dp = -(-d // _ALIGN) * _ALIGN

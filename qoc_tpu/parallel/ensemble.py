@@ -106,7 +106,8 @@ def build_ensemble_loss(pstate, hamiltonian, hamiltonian_params, mesh,
         loss = build_schroedinger_loss(
             pstate, hamiltonian_override=override,
             pvary_axes=(axis_name,) if check_vma else None,
-            time_block_size=time_block_size)
+            time_block_size=time_block_size,
+            allow_plane_chain=False)  # vmapped below; see the builder
         return loss(controls)
 
     def shard_fn(controls, params_shard):
@@ -382,7 +383,8 @@ def grape_schroedinger_ensemble(control_count, control_eval_count, costs,
                 closs = build_schroedinger_loss(
                     pstate, collect_intermediates=True, remat=False,
                     hamiltonian_override=override,
-                    time_block_size=time_block_size)
+                    time_block_size=time_block_size,
+                    allow_plane_chain=False)  # vmapped below
                 return closs(controls)[2]            # (S, K, d, 1)
 
             inters = jax.vmap(member_intermediates)(jnp.asarray(members))

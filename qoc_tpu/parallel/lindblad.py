@@ -166,7 +166,8 @@ def build_lindblad_ensemble_loss(pstate, hamiltonian, hamiltonian_params,
         override = lambda c, t: hamiltonian(params_row, c, t)
         loss = build_lindblad_loss(
             pstate, hamiltonian_override=override,
-            pvary_axes=(axis_name,) if check_vma else None)
+            pvary_axes=(axis_name,) if check_vma else None,
+            allow_plane_chain=False)  # vmapped below; see the builder
         return loss(controls)
 
     def shard_fn(controls, params_shard):
@@ -425,7 +426,8 @@ def grape_lindblad_ensemble(control_count, control_eval_count, costs,
                 override = lambda c, t: hamiltonian(row, c, t)
                 closs = build_lindblad_loss(
                     pstate, collect_intermediates=True, differentiable=False,
-                    remat=False, hamiltonian_override=override)
+                    remat=False, hamiltonian_override=override,
+                    allow_plane_chain=False)  # vmapped below
                 return closs(controls)[2]            # (S, K, d, d)
 
             inters = jax.vmap(member_intermediates)(jnp.asarray(members))
@@ -573,7 +575,8 @@ def grape_lindblad_multistart(control_count, control_eval_count, costs,
                 controls = slap_controls_jax(cc, f, shape)
                 override = lambda c, t: hamiltonian(row, c, t)
                 mloss = build_lindblad_loss(pstate,
-                                            hamiltonian_override=override)
+                                            hamiltonian_override=override,
+                                            allow_plane_chain=False)
                 return mloss(controls)[1]
 
             # Members embed as a trace-time numpy constant (complex jit
@@ -608,7 +611,8 @@ def _winner_final_densities(pstate, hamiltonian, hamiltonian_params,
         def member_densities(flat_params, row):
             controls = slap_controls_jax(cc, flat_params, shape)
             override = lambda c, t: hamiltonian(row, c, t)
-            loss = build_lindblad_loss(pstate, hamiltonian_override=override)
+            loss = build_lindblad_loss(pstate, hamiltonian_override=override,
+                                       allow_plane_chain=False)
             return loss(controls)[1]
 
         densities = jax.jit(lambda f, rows: jax.vmap(
@@ -640,7 +644,8 @@ def _make_lindblad_shard_loss(pstate, hamiltonian, hamiltonian_params,
             override = lambda c, t: hamiltonian(params_row, c, t)
             loss = build_lindblad_loss(
                 pstate, hamiltonian_override=override,
-                pvary_axes=vary_axes if check_vma else None)
+                pvary_axes=vary_axes if check_vma else None,
+                allow_plane_chain=False)  # vmapped below
             return loss(controls)[0]
 
         def shard_loss_sum(clipped_flat):
@@ -664,7 +669,8 @@ def _make_lindblad_shard_loss(pstate, hamiltonian, hamiltonian_params,
         return shard_loss_sum
 
     loss = build_lindblad_loss(
-        pstate, pvary_axes=vary_axes if check_vma else None)
+        pstate, pvary_axes=vary_axes if check_vma else None,
+        allow_plane_chain=False)  # vmapped over candidates below
 
     def shard_loss_sum(clipped_flat):
         def candidate_err(flat):

@@ -197,7 +197,8 @@ def grape_schroedinger_multistart(control_count, control_eval_count, costs,
                 controls = slap_controls_jax(cc, f, shape)
                 override = lambda c, t: hamiltonian(row, c, t)
                 mloss = build_schroedinger_loss(
-                    pstate, hamiltonian_override=override)
+                    pstate, hamiltonian_override=override,
+                    allow_plane_chain=False)  # vmapped below
                 return mloss(controls)[1]
 
             # Members embed as a trace-time numpy constant (complex jit
@@ -237,7 +238,8 @@ def _winner_final_states(pstate, hamiltonian, hamiltonian_params, ensemble,
             controls = slap_controls_jax(cc, flat_params, shape)
             override = lambda c, t: hamiltonian(row, c, t)
             loss = build_schroedinger_loss(pstate,
-                                           hamiltonian_override=override)
+                                           hamiltonian_override=override,
+                                           allow_plane_chain=False)
             return loss(controls)[1]
 
         states = jax.jit(lambda f, rows: jax.vmap(
@@ -275,7 +277,8 @@ def _make_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble, cc,
             override = lambda c, t: hamiltonian(params_row, c, t)
             loss = build_schroedinger_loss(
                 pstate, hamiltonian_override=override,
-                pvary_axes=vary_axes if check_vma else None)
+                pvary_axes=vary_axes if check_vma else None,
+                allow_plane_chain=False)  # vmapped below
             return loss(controls)[0]
 
         def shard_loss_sum(clipped_flat):
@@ -299,7 +302,8 @@ def _make_shard_loss(pstate, hamiltonian, hamiltonian_params, ensemble, cc,
         return shard_loss_sum
 
     loss = build_schroedinger_loss(
-        pstate, pvary_axes=vary_axes if check_vma else None)
+        pstate, pvary_axes=vary_axes if check_vma else None,
+        allow_plane_chain=False)  # vmapped over candidates below
 
     def shard_loss_sum(clipped_flat):
         def candidate_err(flat):

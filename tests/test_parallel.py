@@ -243,6 +243,70 @@ def test_fused_ensemble_step_costs_match_generic(monkeypatch):
                                                       np.abs(g_gen).max())
 
 
+def test_ensemble_m4_does_not_vmap_plane_chain(monkeypatch):
+    """The axon TPU backend rejects vmapped pallas_call (raw UNIMPLEMENTED,
+    measured round 5), so the generic ensemble member loop — which vmaps
+    build_schroedinger_loss — must NOT route M4 members to the plane-chain
+    op even with Pallas selected. Regression: the plane op raises if
+    reached; the M4 ensemble loss must still evaluate (on the batched-XLA
+    path) and match the plain build."""
+    from qoc_tpu.core.common import initialize_controls
+    from qoc_tpu.models import (EnsembleLinearHamiltonian,
+                                GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy, MagnusPolicy)
+    from qoc_tpu.ops import chain_pallas
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.parallel import build_ensemble_loss
+    from qoc_tpu.standard import get_annihilation_operator
+
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **kw: orig(*a, **{**{"interpret": True}, **kw}))
+
+    def boom(*a, **k):
+        raise AssertionError("plane op reached inside a vmapped member "
+                             "loop (would be UNIMPLEMENTED on TPU)")
+
+    monkeypatch.setattr(chain_pallas, "plane_chain_propagate", boom)
+    monkeypatch.setattr(chain_pallas, "plane_chain_propagate_prefixes",
+                        boom)
+
+    h0 = np.asarray(SIGMA_Z) / 2
+    a = get_annihilation_operator(2)
+    ens = EnsembleLinearHamiltonian(h0, np.stack((a,)), [h0])
+    members = np.linspace(-0.05, 0.05, 4).reshape(-1, 1)
+    ini = np.array([[[1.0], [0.0]]])
+    tgt = np.array([[[0.0], [1.0]]])
+    ic, mn = initialize_controls(True, 1, 21, 10.0, None, None)
+
+    def make_pstate():
+        return GrapeSchroedingerDiscreteState(
+            True, 1, 21, 1, [TargetStateInfidelity(tgt)], 10.0, None, None,
+            ic, ini, InterpolationPolicy.LINEAR, 1, 0, mn, MagnusPolicy.M4,
+            0, Adam(), None, False, 0, 21)
+
+    c = jnp.asarray(np.asarray(ic, dtype=complex))
+    mesh = make_mesh(4)
+    gen = build_ensemble_loss(make_pstate(), ens, members, mesh,
+                              check_vma=False)
+    e_g = float(jax.jit(gen)(c)[0])
+    try:
+        set_expm_forward("pallas")
+        fused = build_ensemble_loss(make_pstate(), ens, members, mesh,
+                                    check_vma=False)
+        # M4 -> not the weight-basis fused path; member loop must stay XLA.
+        assert not fused.uses_fused_chain
+        e_f = float(jax.jit(fused)(c)[0])
+        g_f = jax.jit(jax.grad(lambda x: fused(x)[0]))(c)
+        assert np.all(np.isfinite(np.abs(np.asarray(g_f))))
+    finally:
+        set_expm_forward("auto")
+    # f32 interpret-Pallas expm vs x64 XLA member losses.
+    assert abs(e_f - e_g) < 1e-4
+
+
 def test_state_axis_sharding_matches_single_device():
     """mesh= on the plain driver shards the K state axis (gate synthesis:
     K = d unitary columns) with results identical to the unsharded run."""
