@@ -18,7 +18,7 @@ EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
 ALL_EXAMPLES = ("0_transmon_pi", "1_transmon_pi_decoherence", "tutorial",
                 "2_iswap_gate", "3_ensemble_robust", "4_cavity_transfer",
                 "5_multistart_robust", "6_lindblad_ensemble_robust",
-                "7_cavity_lindblad")
+                "7_cavity_lindblad", "8_leakage_suppressed_transfer")
 
 
 def _import_example(name):
@@ -51,6 +51,8 @@ _RUN_SPECS = [
     # The d=20 showcase runs on TPU; the smoke tier shrinks the cavity so
     # the CPU superoperators stay small (sop 36 instead of 400).
     ("7_cavity_lindblad", {"cavity_levels": 6}, False),
+    # Step-cost (ForbidStates) run — the fused per-step-prefix regime.
+    ("8_leakage_suppressed_transfer", {}, False),
 ]
 
 
@@ -91,7 +93,9 @@ def test_iswap_example_converges_to_documented_infidelity():
 @pytest.mark.parametrize("name,iterations,extra,factor", [
     ("3_ensemble_robust", 40, {}, 20.0),      # measured 159x
     ("4_cavity_transfer", 40, {}, 1.5),       # measured 2.05x
-], ids=["3_ensemble_robust", "4_cavity_transfer"])
+    ("8_leakage_suppressed_transfer", 60, {}, 4.0),  # measured 13.6x
+], ids=["3_ensemble_robust", "4_cavity_transfer",
+        "8_leakage_suppressed_transfer"])
 def test_example_improves_single_run(name, iterations, extra, factor):
     """Single/ensemble-driver examples: per-iteration errors recorded in
     result.errors; the run must beat its own iteration-0 error by
