@@ -513,6 +513,59 @@ def test_fused_step_cost_loss_matches_generic(interpreted_pallas, capsys):
         1.0, np.abs(g_gen).max())
 
 
+def test_fused_step_cost_thinning_matches_generic(interpreted_pallas):
+    """cost_eval_step > 1 (the reference's step-cost thinning,
+    schroedingerdiscrete.py:61-63) through the fused per-step-prefix path:
+    value and gradient match the generic path with the same thinning."""
+    from qoc_tpu.core.schroedinger import build_schroedinger_loss
+    from qoc_tpu.models import (GrapeSchroedingerDiscreteState,
+                                InterpolationPolicy, LinearHamiltonian,
+                                MagnusPolicy)
+    from qoc_tpu.optim import Adam
+    from qoc_tpu.ops.expm import set_expm_forward
+    from qoc_tpu.standard import ForbidStates, TargetStateInfidelity
+
+    rng = np.random.default_rng(49)
+    d, n_c, n_steps = 4, 1, 25
+    h0 = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    h0 = (h0 + h0.conj().T) / 2
+    ops = 0.5 * (rng.normal(size=(n_c, d, d))
+                 + 1j * rng.normal(size=(n_c, d, d)))
+    ham = LinearHamiltonian(h0, ops)
+    initial = np.zeros((1, d, 1), dtype=complex); initial[0, 0] = 1
+    target = np.zeros((1, d, 1), dtype=complex); target[0, -1] = 1
+    forb = np.zeros((1, 1, d, 1), dtype=complex); forb[0, 0, 1] = 1
+    costs = [TargetStateInfidelity(target),
+             ForbidStates(forb, n_steps, cost_eval_step=3)]
+
+    def make_pstate():
+        return GrapeSchroedingerDiscreteState(
+            True, n_c, n_steps, 3, costs, 2.0, ham, None,
+            np.zeros((n_steps, n_c), dtype=complex), initial,
+            InterpolationPolicy.LINEAR, 1, 0, [10.0] * n_c,
+            MagnusPolicy.M2, 0, Adam(), None, False, 0, n_steps)
+
+    controls = (0.3 * (rng.normal(size=(n_steps, n_c))
+                       + 1j * rng.normal(size=(n_steps, n_c)))).astype(
+                           np.complex64)
+    loss_generic = build_schroedinger_loss(make_pstate())
+    err_gen, _ = loss_generic(jnp.asarray(controls))
+    g_gen = np.asarray(jax.grad(lambda c: loss_generic(c)[0])(
+        jnp.asarray(controls)))
+    try:
+        set_expm_forward("pallas")
+        loss_fused = build_schroedinger_loss(make_pstate(),
+                                             time_block_size=16)
+        err_fused = float(loss_fused(jnp.asarray(controls))[0])
+        g_fused = np.asarray(jax.grad(lambda c: loss_fused(c)[0])(
+            jnp.asarray(controls)))
+    finally:
+        set_expm_forward("auto")
+    assert abs(err_fused - float(err_gen)) < 1e-4
+    assert np.abs(g_fused - g_gen).max() < 1e-3 * max(
+        1.0, np.abs(g_gen).max())
+
+
 def test_fused_collect_intermediates_matches_generic(interpreted_pallas):
     """Intermediate-state collection rides the fused chain path and returns
     the same (system_eval_count, K, d, 1) stack as the generic path."""
