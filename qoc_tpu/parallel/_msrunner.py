@@ -435,7 +435,12 @@ def run_multistart(pstate, result, mesh, shard_loss_sum, n_starts,
     result.best_iteration = int(np.asarray(pull(best_iter))[winner])
     result.errors = errors
     result.iteration_count_ran = iteration - iteration_start
-    result.iterations_per_s = meter.mean_rate
+    # Same convention as the single-run drivers (round 5): the headline
+    # rate is the STEADY one (first chunk's trace/compile excluded);
+    # mean_rate stays available, and the old _steady name is kept as an
+    # alias for existing callers (bench.py).
+    result.iterations_per_s = meter.steady_rate
+    result.iterations_per_s_mean = meter.mean_rate
     result.iterations_per_s_steady = meter.steady_rate
     return winning_flat
 
