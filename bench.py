@@ -265,6 +265,24 @@ def bench_stepcost():
     return TIMED_ITERATIONS / (time.perf_counter() - start)
 
 
+def bench_m4():
+    """Magnus-M4 GRAPE iteration rate on a d=64 / 10-control / 2001-step
+    problem — the plane-chain kernel's regime (round 5; measured 1.36x
+    the generic batched-expm path, profiling/plane_drive.py)."""
+    pstate, *_ = _bench_problem(D, CONTROL_COUNT, 2001, 2001, 20.0)
+    from qoc_tpu.models import MagnusPolicy
+    pstate.magnus_policy = MagnusPolicy.M4
+    train_step, params, opt_state = _train_step(pstate)
+    for _ in range(WARMUP_ITERATIONS):
+        params, opt_state, error = train_step(params, opt_state)
+    float(error)
+    start = time.perf_counter()
+    for _ in range(TIMED_ITERATIONS):
+        params, opt_state, error = train_step(params, opt_state)
+    float(error)
+    return TIMED_ITERATIONS / (time.perf_counter() - start)
+
+
 def bench_lindblad_d20():
     """Open-system GRAPE iteration rate at Hilbert d=20 (sop 400, padded
     448): the streamed-generator superoperator chain kernel's regime
@@ -355,6 +373,11 @@ def main():
         extra["stepcost_grape_it_s"] = round(bench_stepcost(), 2)
     except Exception as exc:  # pragma: no cover
         extra["stepcost_error"] = repr(exc)[:200]
+
+    try:
+        extra["m4_grape_it_s"] = round(bench_m4(), 2)
+    except Exception as exc:  # pragma: no cover
+        extra["m4_error"] = repr(exc)[:200]
 
     try:
         t1024 = bench_d1024_backprop()
