@@ -10,19 +10,27 @@ report.tex:111); vs_baseline is the speedup of qoc_tpu iterations/s over
 1/55.46 it/s.
 
 The ``extra`` field carries the rest of the BASELINE table (VERDICT r1 #3):
+- ``stepcost_grape_it_s``: the headline config WITH a ForbidStates step
+  cost — the fused per-step-prefix regime (round 5; 18.4x the generic
+  detour this workload took before).
+- ``m4_grape_it_s``: Magnus-M4 GRAPE on d=64/2001 steps — the plane-chain
+  kernel regime (round 5; 1.36x the generic path).
 - ``backprop_d1024_s``: Table 1 (report.tex:53-62) — single-step infidelity
   backprop at d = 2^10, 10 controls (H = H0 + sum c_i H_i, U = expm(-iH dt),
   one state, infidelity, d/dc). Baseline 9.452 s; ``x`` = speedup. This is
   ABOVE the Pallas kernels' d<=256 embedding limit, so it measures the XLA
   Taylor fallback path.
-- ``lindblad_magnus_it_s`` / ``lindblad_rkdp5_it_s``: GRAPE iteration rate
-  on the example-1 workload (d=2 transmon with T1 dissipation,
-  BASELINE.md workload 2) under both integrators. No CPU baseline was
-  published for these; raw rates are recorded.
-- ``multistart_cand_iter_s``: candidate-iterations/s for 512 simultaneous
-  pulse candidates (d=2^6, 10 controls, 201 steps) on one chip through
-  ``grape_schroedinger_multistart`` — the BASELINE.json "thousands of pulse
-  candidates" axis.
+- ``lindblad_magnus_it_s`` (+``_range``) / ``lindblad_rkdp5_it_s``: GRAPE
+  iteration rate on the example-1 workload (d=2 transmon with T1
+  dissipation, BASELINE.md workload 2) under both integrators; the MAGNUS
+  number is the median of 5 warm windows with the observed range (it is
+  dispatch-bound and host-load-sensitive). No CPU baseline was published
+  for these; raw rates are recorded.
+- ``multistart_cand_iter_s`` (+ ``_1024_`` / ``_2048_`` variants):
+  candidate-iterations/s for 512 / 1024 / 2048 simultaneous pulse
+  candidates (d=2^6, 10 controls, 201 steps) on one chip through
+  ``grape_schroedinger_multistart`` — the BASELINE.json "thousands of
+  pulse candidates" axis, measured (grouped-member kernel packing).
 - ``lindblad_magnus_d20_it_s``: open-system GRAPE at Hilbert d=20
   (sop 400) on the streamed-generator superoperator chain kernel
   (256 < padded d <= 512 regime, round 4).

@@ -445,3 +445,32 @@ def test_frechet_dual_taylor_matches_block_identity():
     g2 = jax.grad(lambda x: jnp.real(jnp.vdot(tgt, expm_pade(x[None])[0])))(
         jnp.asarray(a))
     assert float(jnp.abs(g1 - g2).max() / jnp.abs(g2).max()) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# ans_jacobian (reference qoc/standard/utils/autogradutil.py:10-31)
+# ---------------------------------------------------------------------------
+
+def test_ans_jacobian_scalar_and_array_outputs():
+    from qoc_tpu.gradutil import ans_jacobian
+
+    # Scalar output: one value_and_grad pass.
+    f = lambda x: jnp.sum(x ** 2)
+    x = jnp.asarray([1.0, 2.0, 3.0])
+    value, grad = ans_jacobian(f)(x)
+    assert np.isclose(float(value), 14.0)
+    assert np.allclose(np.asarray(grad), 2 * np.asarray(x))
+
+    # Array output: full Jacobian, checked against the analytic one of
+    # g(x) = [x0*x1, x1^2] -> J = [[x1, x0], [0, 2*x1]].
+    g = lambda x: jnp.stack([x[0] * x[1], x[1] ** 2])
+    xv = jnp.asarray([2.0, 5.0])
+    value, jac = ans_jacobian(g)(xv)
+    assert np.allclose(np.asarray(value), [10.0, 25.0])
+    assert np.allclose(np.asarray(jac), [[5.0, 2.0], [0.0, 10.0]])
+
+    # argnum selects the differentiated argument.
+    h = lambda a, b: jnp.sum(a * b)
+    _, db = ans_jacobian(h, argnum=1)(jnp.asarray([1.0, 2.0]),
+                                      jnp.asarray([3.0, 4.0]))
+    assert np.allclose(np.asarray(db), [1.0, 2.0])
