@@ -6,7 +6,39 @@ need (targets, normalization constants) is precomputed at construction time so
 the per-step work is pure device math.
 """
 
-__all__ = ["Cost"]
+import numpy as np
+
+__all__ = ["Cost", "validate_cost_dimensions"]
+
+
+def validate_cost_dimensions(costs, hilbert_dim):
+    """Raise a clean ValueError when a cost's stored targets / forbidden
+    operators disagree with the problem's Hilbert dimension.
+
+    Without this the mismatch surfaces at trace time as an opaque
+    ``dot_general requires contracting dimensions to have the same shape``
+    TypeError from deep inside the propagation loss (round-5 probe). Called
+    by the Evolve*/Grape* state constructors, so every driver — single,
+    ensemble, multistart — validates once, up front."""
+    for cost in costs:
+        d = None
+        dagger = getattr(cost, "target_states_dagger", None)
+        if dagger is not None:
+            d = int(np.asarray(dagger).shape[-1])
+        dens = getattr(cost, "target_densities_dagger", None)
+        if dens is not None:
+            d = int(np.asarray(dens).shape[-1])
+        forb = getattr(cost, "forbidden_states_dagger", None)
+        if forb is not None and len(forb):
+            d = int(np.asarray(forb[0]).shape[-1])
+        hilbert = getattr(cost, "hilbert_size", None)
+        if hilbert is not None:
+            d = int(hilbert)
+        if d is not None and d != hilbert_dim:
+            raise ValueError(
+                "{} was constructed for Hilbert dimension {}, but the "
+                "problem's initial states/densities have dimension {}."
+                "".format(type(cost).__name__, d, hilbert_dim))
 
 
 class Cost:

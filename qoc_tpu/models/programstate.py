@@ -11,6 +11,7 @@ over. Traced data (controls, states) flows through function arguments.
 
 import numpy as np
 
+from qoc_tpu.models.cost import validate_cost_dimensions
 from qoc_tpu.models.policies import ProgramType
 from qoc_tpu.io.h5 import H5Checkpointer
 
@@ -147,6 +148,7 @@ class EvolveSchroedingerDiscreteState(ProgramState):
                          ProgramType.EVOLVE, save_file_path,
                          system_eval_count)
         self.initial_states = initial_states
+        validate_cost_dimensions(costs, np.asarray(initial_states).shape[-2])
         self.magnus_policy = magnus_policy
         self.save_intermediate_states_ = (save_file_path is not None
                                           and save_intermediate_states_)
@@ -191,6 +193,7 @@ class GrapeSchroedingerDiscreteState(GrapeState):
                          system_eval_count)
         self.hilbert_size = initial_states[0].shape[0]
         self.initial_states = initial_states
+        validate_cost_dimensions(costs, np.asarray(initial_states).shape[-2])
         self.magnus_policy = magnus_policy
         self.save_intermediate_states_ = (self.should_save
                                           and save_intermediate_states_)
@@ -219,6 +222,8 @@ class EvolveLindbladDiscreteState(ProgramState):
                          ProgramType.EVOLVE, save_file_path,
                          system_eval_count)
         self.initial_densities = initial_densities
+        validate_cost_dimensions(costs,
+                                 np.asarray(initial_densities).shape[-1])
         self.lindblad_data = lindblad_data
         self.save_intermediate_densities_ = (save_intermediate_densities_
                                              and save_file_path is not None)
@@ -257,6 +262,8 @@ class GrapeLindbladDiscreteState(GrapeState):
                          system_eval_count)
         self.hilbert_size = initial_densities[0].shape[0]
         self.initial_densities = initial_densities
+        validate_cost_dimensions(costs,
+                                 np.asarray(initial_densities).shape[-1])
         self.lindblad_data = lindblad_data
         self.save_intermediate_densities_ = (self.should_save
                                              and save_intermediate_densities_)

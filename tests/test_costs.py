@@ -4,6 +4,7 @@ evaluation of its documented formula, plus hand-computable special cases
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -259,3 +260,38 @@ def test_bandwidth_concentrated_line_scores_low():
     value = float(cost.cost(jnp.asarray(fast), None, 0))
     assert np.isfinite(value)
     assert value < 0.5
+
+
+def test_cost_dimension_mismatch_raises_cleanly():
+    """A cost built for the wrong Hilbert dimension fails at pstate
+    construction with a named ValueError, not an opaque dot_general
+    TypeError from inside the traced loss (round-5 probe)."""
+    import jax.numpy as jnp
+    from qoc_tpu import grape_schroedinger_discrete, grape_lindblad_discrete
+    from qoc_tpu.standard import SIGMA_X, SIGMA_Z
+
+    def ham(c, t):
+        sx = jnp.asarray(np.asarray(SIGMA_X), dtype=complex)
+        return (jnp.asarray(np.asarray(SIGMA_Z), dtype=complex) / 2
+                + c[0] * sx + jnp.conj(c[0]) * sx)
+
+    ini = np.array([[[1.0], [0.0]]])
+    bad_tgt = np.zeros((1, 3, 1), dtype=complex); bad_tgt[0, 2] = 1
+    with pytest.raises(ValueError, match="Hilbert dimension 3"):
+        grape_schroedinger_discrete(
+            1, 5, [TargetStateInfidelity(bad_tgt)], 4.0, ham, ini, 5,
+            complex_controls=True, iteration_count=1, log_iteration_step=0)
+
+    bad_forb = np.zeros((1, 1, 5, 1), dtype=complex); bad_forb[0, 0, 4] = 1
+    with pytest.raises(ValueError, match="ForbidStates.*dimension 5"):
+        grape_schroedinger_discrete(
+            1, 5, [ForbidStates(bad_forb, 5)], 4.0, ham, ini, 5,
+            complex_controls=True, iteration_count=1, log_iteration_step=0)
+
+    rho0 = np.array([[[1.0, 0.0], [0.0, 0.0]]], dtype=complex)
+    bad_rho = np.zeros((1, 4, 4), dtype=complex); bad_rho[0, 3, 3] = 1
+    with pytest.raises(ValueError, match="Hilbert dimension 4"):
+        grape_lindblad_discrete(
+            1, 5, [TargetDensityInfidelity(bad_rho)], 4.0, rho0, 2,
+            complex_controls=True, hamiltonian=ham, iteration_count=1,
+            log_iteration_step=0)
