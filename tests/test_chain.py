@@ -1138,3 +1138,19 @@ def test_stream_chain_inside_shard_map_ensemble(interpreted_pallas):
     assert abs(float(e_f) - float(e_g)) < 1e-5
     assert np.abs(np.asarray(s_f) - np.asarray(s_g)).max() < 1e-4
     assert np.abs(np.asarray(g_f) - np.asarray(g_g)).max() < 1e-4
+
+
+def test_chain_rejects_padded_d_above_stream_max():
+    """Direct callers past chain_fused_ok's limit get a clear ValueError,
+    not an obscure Mosaic VMEM compile failure (ADVICE r4)."""
+    from qoc_tpu.ops.chain_pallas import (_STREAM_MAX, chain_expm_propagate,
+                                          plane_chain_propagate)
+    rng = np.random.default_rng(99)
+    d = _STREAM_MAX + 1
+    basis = np.zeros((1, d, d), dtype=np.complex64)
+    w = rng.normal(size=(2, 1)).astype(np.float32)
+    with pytest.raises(ValueError, match="padded d <= 512"):
+        chain_expm_propagate(jnp.asarray(w), basis)
+    planes = jnp.zeros((2, d, d), dtype=jnp.complex64)
+    with pytest.raises(ValueError, match="padded d <= 512"):
+        plane_chain_propagate(planes)
